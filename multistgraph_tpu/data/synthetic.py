@@ -1,0 +1,158 @@
+"""Synthetic atomic-dataset generator.
+
+The reference repo ships only dataset config.json files — the raw archives are
+missing large blobs — so tests and benchmarks synthesize statistically-matched
+data: per-node hourly series with daily/weekly seasonality anchored to
+configurable per-node mean/std tables (the shape of the DC dataset: 237 nodes,
+hourly, 2019-01-01..05-31, mean 30.169 / std 84.023, README.md:44-53), written
+in the exact atomic-file schemas the loaders consume
+(ref: raw_data/201901010601_DC_SG_CTractFIPS_Hourly_Single_GP/config.json).
+"""
+
+import json
+import os
+from typing import Optional
+
+import numpy as np
+import pandas as pd
+
+from multistgraph_tpu.utils import ensure_dir
+
+
+def make_synthetic_dataset(
+    out_dir: str,
+    name: str,
+    num_nodes: int = 8,
+    len_time: int = 24 * 40,
+    start_time: str = "2019-01-01T00:00:00Z",
+    node_mean: float = 30.0,
+    node_std: float = 15.0,
+    seed: int = 0,
+    groupstd_normalize: bool = True,
+) -> str:
+    """Write a full synthetic dataset under `out_dir/name/`; returns its path.
+
+    Produces .geo/.rel/.dyna/.ext/.static/.gbst + config.json matching the
+    reference DC schema (data_col=['Visits'], ext cols holiday/weekend/temp/
+    rain/snow, link_weight OD counts). When `groupstd_normalize` is True the
+    .dyna values are per-node z-scored by the .gbst All_std/All_m like the
+    reference's offline prep (ref: data_prepare/1.3-data_libcity_format.py:99-130).
+    """
+    rng = np.random.default_rng(seed)
+    path = os.path.join(out_dir, name)
+    ensure_dir(path)
+
+    geo_ids = np.arange(11001000100, 11001000100 + num_nodes)
+    lng = -77.0 + rng.uniform(-0.2, 0.2, num_nodes)
+    lat = 38.9 + rng.uniform(-0.2, 0.2, num_nodes)
+    geo = pd.DataFrame(
+        {
+            "geo_id": geo_ids,
+            "type": "Point",
+            "coordinates": ["[{:.6f}, {:.6f}]".format(x, y) for x, y in zip(lng, lat)],
+        }
+    )
+    geo.to_csv(os.path.join(path, name + ".geo"), index=False)
+
+    # OD flows: distance-decayed random volumes with strong self-flow diagonal.
+    d2 = (lng[:, None] - lng[None, :]) ** 2 + (lat[:, None] - lat[None, :]) ** 2
+    volume = rng.poisson(50 * np.exp(-d2 / 0.02)) + np.diag(rng.integers(100, 200, num_nodes))
+    src, dst = np.nonzero(volume)
+    rel = pd.DataFrame(
+        {
+            "rel_id": np.arange(len(src)),
+            "type": "geo",
+            "origin_id": geo_ids[src],
+            "destination_id": geo_ids[dst],
+            "link_weight": volume[src, dst].astype(float),
+        }
+    )
+    rel.to_csv(os.path.join(path, name + ".rel"), index=False)
+
+    # Hourly series: node-specific daily + weekly harmonics + noise, clipped >= 0.
+    times = np.datetime64(start_time.replace("T", " ").replace("Z", "")) + np.arange(
+        len_time
+    ) * np.timedelta64(3600, "s")
+    hours = np.arange(len_time)
+    means = np.maximum(rng.normal(node_mean, node_mean / 2, num_nodes), 1.0)
+    stds = np.maximum(rng.normal(node_std, node_std / 3, num_nodes), 0.5)
+    phase = rng.uniform(0, 2 * np.pi, num_nodes)
+    daily = np.sin(2 * np.pi * hours[None, :] / 24 + phase[:, None])
+    weekly = 0.4 * np.sin(2 * np.pi * hours[None, :] / (24 * 7) + phase[:, None])
+    noise = rng.normal(0, 0.3, (num_nodes, len_time))
+    visits = np.maximum(means[:, None] + stds[:, None] * (daily + weekly + noise), 0.0)
+
+    gbst = pd.DataFrame(
+        {
+            "geo_id": geo_ids,
+            "All_m": visits.mean(axis=1),
+            "All_std": np.maximum(visits.std(axis=1), 1e-6),
+        }
+    )
+    gbst.to_csv(os.path.join(path, name + ".gbst"), index=False)
+    if groupstd_normalize:
+        visits = (visits - 0.0) / gbst["All_std"].to_numpy()[:, None]
+
+    time_strs = np.datetime_as_string(times, unit="s")
+    time_strs = np.char.add(np.char.replace(time_strs, " ", "T"), "Z")
+    dyna = pd.DataFrame(
+        {
+            "dyna_id": np.arange(num_nodes * len_time),
+            "type": "state",
+            "time": np.tile(time_strs, num_nodes),
+            "entity_id": np.repeat(geo_ids, len_time),
+            "Visits": visits.reshape(-1),
+        }
+    )
+    dyna.to_csv(os.path.join(path, name + ".dyna"), index=False)
+
+    days = times.astype("datetime64[D]").astype(np.int64)
+    weekday = (days + 3) % 7
+    ext = pd.DataFrame(
+        {
+            "ext_id": np.arange(len_time),
+            "time": time_strs,
+            "holiday": (rng.uniform(size=len_time) < 0.03).astype(float),
+            "weekend": (weekday >= 5).astype(float),
+            "temp": rng.normal(0, 1, len_time),
+            "rain": np.maximum(rng.normal(-0.5, 1, len_time), 0),
+            "snow": np.maximum(rng.normal(-1.5, 1, len_time), 0),
+            "New_cases": np.zeros(len_time),
+        }
+    )
+    ext.to_csv(os.path.join(path, name + ".ext"), index=False)
+
+    static = pd.DataFrame(
+        rng.normal(0, 1, (num_nodes, 6)),
+        columns=["pop", "income", "poi_retail", "poi_rest", "poi_edu", "poi_rec"],
+    )
+    static.insert(0, "geo_id", geo_ids)
+    static.to_csv(os.path.join(path, name + ".static"), index=False)
+
+    config = {
+        "geo": {"including_types": ["Point"], "Point": {}},
+        "rel": {"including_types": ["geo"], "geo": {"link_weight": "num"}},
+        "dyna": {"including_types": ["state"], "state": {"entity_id": "geo_id", "Visits": "num"}},
+        "ext": {
+            "ext_id": "num", "time": "other", "holiday": "num", "weekend": "num",
+            "temp": "num", "rain": "num", "snow": "num", "New_cases": "num",
+        },
+        "info": {
+            "data_col": ["Visits"],
+            "weight_col": "link_weight",
+            "ext_col": ["holiday", "weekend", "temp", "rain", "snow"],
+            "data_files": [name],
+            "geo_file": name,
+            "rel_file": name,
+            "ext_file": name,
+            "output_dim": 1,
+            "time_intervals": 3600,
+            "init_weight_inf_or_zero": "zero",
+            "set_weight_link_or_dist": "dist",
+            "calculate_weight_adj": False,
+            "weight_adj_epsilon": 0.1,
+        },
+    }
+    with open(os.path.join(path, "config.json"), "w") as f:
+        json.dump(config, f)
+    return path

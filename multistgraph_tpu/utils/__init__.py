@@ -1,0 +1,4 @@
+from multistgraph_tpu.utils.logging import get_logger, ensure_dir
+from multistgraph_tpu.utils.seeds import set_random_seed
+
+__all__ = ["get_logger", "ensure_dir", "set_random_seed"]
