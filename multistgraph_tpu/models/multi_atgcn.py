@@ -1,0 +1,467 @@
+"""Multi-ATGCN, re-designed TPU-first in flax + lax.scan.
+
+Capability parity with the reference model
+(ref: libcity/model/traffic_flow_prediction/MultiATGCN.py:59-430):
+multi-head temporal fusion (closeness/period/trend blocks gated by a softmax
+head gate and per-hour/node/channel weights), an adaptive-graph-convolution
+GRU encoder with node-conditioned Chebyshev weight pools and a learned
+per-(layer, step) mix with a plain residual GRU, static-feature-conditioned
+initial hidden state, and a conv output head.
+
+TPU-first re-design (NOT a translation of the reference's per-step loops):
+
+  * the 2-layer x 24-step Python loop (ref :194-212) becomes one
+    ``lax.scan`` per layer, compiled once;
+  * the support stack is built ONCE per forward; the reference rebuilds it
+    inside all 96 AGCN invocations per step (ref :94-101);
+  * each AGCN cell's softmax(weights_g) support scaling is folded into the
+    node-conditioned weight pool instead of scaling the N x N supports
+    (linearity: (g_k S_k) x W = S_k x (g_k W)), so the expensive
+    aggregation S @ h is shared across cells;
+  * the graph aggregation of the time-invariant input part S @ x_t is hoisted
+    out of the scan and computed for all steps in one batched einsum (the
+    gate and candidate AGCNs both reuse it), halving per-step graph matmuls;
+  * node-conditioned weights W[n] = node_emb[n] . weights_pool are computed
+    once per forward, not once per cell call (the reference recomputes them
+    ~96x per step-loop, ref :104-105).
+
+Initialization parity: the reference's ``_init_parameters`` overwrites every
+parameter with xavier_uniform (dim>1) / U[0,1) (vectors) AFTER the SVD/PCA
+setup (ref :348,356-361), so the effective init is xavier/uniform; that is the
+default here, with the SVD/PCA recipe available via config ``svd_init=True``
+(see models/initializers.py).
+"""
+
+from dataclasses import field
+from typing import Any, Dict, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from multistgraph_tpu.graph import views as graph_views
+from multistgraph_tpu.models import initializers
+from multistgraph_tpu.ops import losses
+
+HOURS_PER_BLOCK = 24  # the reference hardcodes 24-step fusion blocks (ref :373-393)
+
+
+def _xavier(shape):
+    """torch-fan xavier_uniform initializer for an arbitrary-rank tensor."""
+    def init(key, _shape=None, dtype=jnp.float32):
+        return initializers.torch_style_init(key, shape, dtype)
+    return init
+
+
+def _uniform01(shape):
+    def init(key, _shape=None, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, minval=0.0, maxval=1.0)
+    return init
+
+
+class MultiATGCN(nn.Module):
+    """Flax module. Input x: (B, T_total, N, F); output: (B, Tout, N, output_dim)."""
+
+    num_nodes: int
+    input_window: int
+    output_window: int
+    start_dim: int
+    end_dim: int
+    ext_dim: int
+    hidden_dim: int
+    num_layers: int
+    cheb_k: int
+    embed_dim_node: int
+    embed_dim_adj: int
+    adjtype: str
+    adpadj: str
+    add_time_in_day: bool
+    add_day_in_week: bool
+    load_dynamic: bool
+    gcn_off: bool
+    fnn_off: bool
+    node_specific_off: bool
+    len_closeness: int
+    len_period: int
+    len_trend: int
+    # Build-time constants (host numpy, captured as XLA constants):
+    supports_static: Any = None       # (K_static, N, N) incl. leading identity
+    static_proj: Any = None           # (N, min(N, embed_dim_node)) PCA-projected static, or None
+    node_emb_init_value: Any = None   # optional (N, E) init override (svd_init mode)
+    vec1_init_value: Any = None       # optional (N, d_adj)
+    vec2_init_value: Any = None       # optional (d_adj, N)
+    dropout_rate: float = 0.1
+
+    @property
+    def output_dim(self) -> int:
+        return self.end_dim - self.start_dim
+
+    @property
+    def time_index_dim(self) -> int:
+        if self.add_time_in_day and self.add_day_in_week:
+            return 8
+        if self.add_time_in_day:
+            return 1
+        if self.add_day_in_week:
+            # The reference's if-chain crashes on day-in-week-only configs
+            # (MultiATGCN.py:313-318 leaves the attr unset); we support it.
+            return 7
+        return 0
+
+    @property
+    def feature_final(self) -> int:
+        return self.output_dim + self.ext_dim
+
+    @property
+    def num_supports(self) -> int:
+        """Total stacked supports = reference's cheb_ks (MultiATGCN.py:65-70)."""
+        if self.adjtype == "multi" and self.adpadj in ("bidirection", "unidirection"):
+            return 1 + (self.cheb_k - 1) * 4
+        if self.adjtype == "multi":
+            return 1 + (self.cheb_k - 1) * 3
+        return self.cheb_k
+
+    @property
+    def len_ts(self) -> int:
+        return (self.len_closeness + self.len_period + self.len_trend) // HOURS_PER_BLOCK
+
+    # ------------------------------------------------------------------ setup
+    def setup(self):
+        n, e = self.num_nodes, (1 if self.node_specific_off else self.embed_dim_node)
+        d_adj = self.embed_dim_adj
+        out = self.output_dim
+
+        if self.node_specific_off:
+            # frozen all-ones embedding, not a parameter (MultiATGCN.py:350-354)
+            self._node_emb = jnp.ones((n, 1), dtype=jnp.float32)
+        elif self.node_emb_init_value is not None:
+            self._node_emb = self.param(
+                "node_emb", lambda k: jnp.asarray(self.node_emb_init_value, jnp.float32)
+            )
+        else:
+            self._node_emb = self.param("node_emb", _xavier((n, e)))
+
+        if self.vec1_init_value is not None:
+            self._node_vec1 = self.param("node_vec1", lambda k: jnp.asarray(self.vec1_init_value, jnp.float32))
+            self._node_vec2 = self.param("node_vec2", lambda k: jnp.asarray(self.vec2_init_value, jnp.float32))
+        else:
+            self._node_vec1 = self.param("node_vec1", _xavier((n, d_adj)))
+            self._node_vec2 = self.param("node_vec2", _xavier((d_adj, n)))
+
+        # Temporal-fusion heads: per-head (1, 24, N, out) weights (init matches
+        # the reference's per-head ParameterList fan) + softmax head gate.
+        self._weight_ts = [
+            self.param("weight_ts_{}".format(i), _xavier((1, HOURS_PER_BLOCK, n, out)))
+            for i in range(self.len_ts)
+        ]
+        self._weight_tsg = self.param("weight_tsg", _uniform01((self.len_ts,)))
+
+        # Encoder parameters.
+        ks = self.num_supports
+        h = self.hidden_dim
+        layers = []
+        for layer in range(self.num_layers):
+            dim_in = self.feature_final if layer == 0 else h
+            entry: Dict[str, Any] = {}
+            if not self.gcn_off:
+                for name, dim_out in (("gate", 2 * h), ("update", h)):
+                    entry[name] = {
+                        "weights_g": self.param(
+                            "l{}_{}_weights_g".format(layer, name), _xavier((ks, 1, 1))
+                        ),
+                        "pool": self.param(
+                            "l{}_{}_pool".format(layer, name), _xavier((e, ks, dim_in + h, dim_out))
+                        ),
+                        "bias_pool": self.param(
+                            "l{}_{}_bias_pool".format(layer, name), _xavier((e, dim_out))
+                        ),
+                    }
+            # Plain dense GRU cells: the residual branch when graph conv is on,
+            # or the only cell when gcn_off (ref :177-192).
+            for name, dim_out in (("res_gate", 2 * h), ("res_update", h)):
+                entry[name] = {
+                    "kernel": self.param(
+                        "l{}_{}_kernel".format(layer, name),
+                        lambda k, s=(dim_in + h, dim_out): initializers.dense_kernel_init(k, s),
+                    ),
+                    "bias": self.param("l{}_{}_bias".format(layer, name), _uniform01((dim_out,))),
+                }
+            layers.append(entry)
+        self._layers = layers
+        self._weights_gru = self.param("weights_gru", _xavier((self.num_layers, self.input_window)))
+
+        if self.static_proj is not None:
+            q = self.static_proj.shape[1]
+            self._static_gru_kernel = self.param(
+                "static_gru_kernel", lambda k: initializers.dense_kernel_init(k, (q, h))
+            )
+            self._static_gru_bias = self.param("static_gru_bias", _uniform01((h,)))
+
+        t_conv = 1 if self.fnn_off else self.input_window
+        self._end_kernel = self.param(
+            "end_conv_kernel",
+            # torch Conv2d(outC=Tout*out, inC=t_conv, kernel=(1, H)) xavier fan:
+            # fan_in = t_conv*H, fan_out = Tout*out*H.
+            lambda k: jax.random.uniform(
+                k, (t_conv * h, self.output_window * out),
+                minval=-np.sqrt(6.0 / (t_conv * h + self.output_window * out * h)),
+                maxval=np.sqrt(6.0 / (t_conv * h + self.output_window * out * h)),
+            ),
+        )
+        self._end_bias = self.param("end_conv_bias", _uniform01((self.output_window * out,)))
+        self._dropout = nn.Dropout(rate=self.dropout_rate)
+
+    # ------------------------------------------------------------- components
+    def _build_supports(self) -> jnp.ndarray:
+        """Stack all supports (K_total, N, N), adaptive terms first (ref :87-101)."""
+        base = jnp.asarray(self.supports_static, jnp.float32)
+        if self.adpadj == "none":
+            return base
+        if self.adpadj == "unidirection":
+            logits = jnp.maximum(self._node_vec1 @ self._node_vec2, 0.0)
+        elif self.adpadj == "bidirection":
+            logits = jnp.maximum(self._node_emb @ self._node_emb.T, 0.0)
+        else:
+            raise ValueError("unknown adpadj {!r}".format(self.adpadj))
+        adaptive = jax.nn.softmax(logits, axis=1)
+        eye = jnp.eye(self.num_nodes, dtype=jnp.float32)
+        terms = [adaptive]
+        prev2, prev1 = eye, adaptive
+        for _ in range(2, self.cheb_k):
+            nxt = 2.0 * adaptive @ prev1 - prev2
+            terms.append(nxt)
+            prev2, prev1 = prev1, nxt
+        adaptive_stack = jnp.stack(terms, axis=0)
+        if self.adjtype == "multi":
+            return jnp.concatenate([base[:1], adaptive_stack, base[1:]], axis=0)
+        # non-multi + adaptive: static supports are NOT used (ref :92-93)
+        return jnp.concatenate([eye[None], adaptive_stack], axis=0)
+
+    def _cell_weights(self, cell_params) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        """Node-conditioned weights split into (W_x, W_h) plus bias.
+
+        W[n,k,i,o] = node_emb[n,:] . pool[:,k,i,o], scaled by softmax(weights_g)
+        over k when adjtype='multi' (folded here instead of into the supports).
+        """
+        w = jnp.einsum("nd,dkio->nkio", self._node_emb, cell_params["pool"])
+        if self.adjtype == "multi":
+            gate = jax.nn.softmax(cell_params["weights_g"], axis=0)  # (K,1,1)
+            w = w * gate[None, :, 0, 0][:, :, None, None]
+        bias = self._node_emb @ cell_params["bias_pool"]  # (N, out)
+        dim_in = w.shape[2] - self.hidden_dim
+        return w[:, :, :dim_in], w[:, :, dim_in:], bias
+
+    @staticmethod
+    def _gru_mix(z_r, state, candidate_fn):
+        h = state
+        z, r = jnp.split(z_r, 2, axis=-1)
+        hc = candidate_fn(z)
+        return r * h + (1.0 - r) * hc
+
+    def _encoder(self, x: jnp.ndarray, init_state: jnp.ndarray, supports: jnp.ndarray) -> jnp.ndarray:
+        """x: (B, T, N, C) -> stacked per-step states of the last layer (B, T, N, H)."""
+        if x.shape[2] != self.num_nodes:
+            raise ValueError("node-dimension mismatch: {} vs {}".format(x.shape[2], self.num_nodes))
+        weights_gru = jax.nn.sigmoid(self._weights_gru)  # (L, T)
+        current = jnp.transpose(x, (1, 0, 2, 3))  # (T, B, N, C)
+
+        for layer_idx, cell in enumerate(self._layers):
+            state0 = init_state[layer_idx]  # (B, N, H)
+            w_seq = weights_gru[layer_idx][: current.shape[0]]  # (T,)
+
+            res_gate_k, res_gate_b = cell["res_gate"]["kernel"], cell["res_gate"]["bias"]
+            res_upd_k, res_upd_b = cell["res_update"]["kernel"], cell["res_update"]["bias"]
+            dim_in = current.shape[-1]
+            # Hoist the x-only part of the residual dense transforms over all T.
+            res_gate_x = jnp.einsum("tbnc,cd->tbnd", current, res_gate_k[:dim_in])
+            res_upd_x = jnp.einsum("tbnc,cd->tbnd", current, res_upd_k[:dim_in])
+            res_gate_h = res_gate_k[dim_in:]
+            res_upd_h = res_upd_k[dim_in:]
+
+            if not self.gcn_off:
+                wg_x, wg_h, bg = self._cell_weights(cell["gate"])
+                wu_x, wu_h, bu = self._cell_weights(cell["update"])
+                # Hoist the graph aggregation of the input sequence: shared by
+                # the gate and candidate AGCNs at every step.
+                hx = jnp.einsum("knm,tbmc->tbknc", supports, current)
+                gate_x = jnp.einsum("tbkni,nkio->tbno", hx, wg_x)
+                upd_x = jnp.einsum("tbkni,nkio->tbno", hx, wu_x)
+
+                def step(h, inputs):
+                    gate_x_t, upd_x_t, rg_x_t, ru_x_t, w_t = inputs
+                    hh = jnp.einsum("knm,bmc->bknc", supports, h)
+                    z_r = jax.nn.sigmoid(
+                        gate_x_t + jnp.einsum("bkni,nkio->bno", hh, wg_h) + bg
+                    )
+                    z, r = jnp.split(z_r, 2, axis=-1)
+                    hzh = jnp.einsum("knm,bmc->bknc", supports, z * h)
+                    hc = jnp.tanh(upd_x_t + jnp.einsum("bkni,nkio->bno", hzh, wu_h) + bu)
+                    h_agru = r * h + (1.0 - r) * hc
+                    # residual plain-GRU branch, fed the NEW state (ref :204-208)
+                    z_r_res = jax.nn.sigmoid(rg_x_t + h_agru @ res_gate_h + res_gate_b)
+                    z2, r2 = jnp.split(z_r_res, 2, axis=-1)
+                    hc_res = jnp.tanh(ru_x_t + (z2 * h_agru) @ res_upd_h + res_upd_b)
+                    h_res = r2 * h_agru + (1.0 - r2) * hc_res
+                    h_new = w_t * h_agru + (1.0 - w_t) * h_res
+                    return h_new, h_new
+
+                _, states = jax.lax.scan(step, state0, (gate_x, upd_x, res_gate_x, res_upd_x, w_seq))
+            else:
+                def step(h, inputs):  # plain GRU only (ref :187-192)
+                    rg_x_t, ru_x_t, _w_t = inputs
+                    z_r = jax.nn.sigmoid(rg_x_t + h @ res_gate_h + res_gate_b)
+                    z, r = jnp.split(z_r, 2, axis=-1)
+                    hc = jnp.tanh(ru_x_t + (z * h) @ res_upd_h + res_upd_b)
+                    h_new = r * h + (1.0 - r) * hc
+                    return h_new, h_new
+
+                _, states = jax.lax.scan(step, state0, (res_gate_x, res_upd_x, w_seq))
+            current = states  # (T, B, N, H)
+
+        return jnp.transpose(current, (1, 0, 2, 3))  # (B, T, N, H)
+
+    # ---------------------------------------------------------------- forward
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        source = x[:, :, :, self.start_dim : self.end_dim]
+        total_len = self.len_closeness + self.len_period + self.len_trend
+        if source.shape[1] < total_len:
+            raise ValueError(
+                "input has {} steps but len_closeness+len_period+len_trend={}".format(
+                    source.shape[1], total_len
+                )
+            )
+
+        # Multi-head temporal fusion (ref :366-393).
+        head_gate = jax.nn.softmax(self._weight_tsg)
+        fused = jnp.zeros(
+            (source.shape[0], HOURS_PER_BLOCK, self.num_nodes, self.output_dim), source.dtype
+        )
+        head = 0
+        begin = 0
+        for _ in range(self.len_closeness // HOURS_PER_BLOCK):
+            block = source[:, begin : begin + HOURS_PER_BLOCK]
+            fused = fused + head_gate[head] * block * self._weight_ts[head]
+            begin += HOURS_PER_BLOCK
+            head += 1
+        begin = self.len_closeness
+        if self.output_window >= 6:
+            for _ in range(self.len_period // HOURS_PER_BLOCK):
+                block = source[:, begin : begin + HOURS_PER_BLOCK]
+                fused = fused + head_gate[head] * block * self._weight_ts[head]
+                begin += HOURS_PER_BLOCK
+                head += 1
+            begin = self.len_closeness + self.len_period
+            for _ in range(self.len_trend // HOURS_PER_BLOCK):
+                block = source[:, begin : begin + HOURS_PER_BLOCK]
+                fused = fused + head_gate[head] * block * self._weight_ts[head]
+                begin += HOURS_PER_BLOCK
+                head += 1
+
+        # Re-append calendar and dynamic external features (ref :396-402).
+        parts = [fused]
+        if self.time_index_dim:
+            parts.append(
+                x[:, : self.input_window, :, self.end_dim : self.end_dim + self.time_index_dim]
+            )
+        if self.load_dynamic:
+            parts.append(x[:, : self.input_window, :, self.end_dim + self.time_index_dim :])
+        enc_in = jnp.concatenate(parts, axis=-1) if len(parts) > 1 else fused
+
+        # Initial hidden state: zeros, or static-conditioned (ref :404-409).
+        batch = source.shape[0]
+        if self.static_proj is not None:
+            emb = jax.nn.relu(
+                jnp.asarray(self.static_proj, jnp.float32) @ self._static_gru_kernel
+                + self._static_gru_bias
+            )  # (N, H)
+            init_state = jnp.broadcast_to(
+                emb[None, None], (self.num_layers, batch, self.num_nodes, self.hidden_dim)
+            )
+        else:
+            init_state = jnp.zeros((self.num_layers, batch, self.num_nodes, self.hidden_dim))
+
+        supports = self._build_supports()
+        states = self._encoder(enc_in, init_state, supports)  # (B, T, N, H)
+
+        if self.fnn_off:
+            states = states[:, -1:]
+
+        # Conv output head as a (T*H -> Tout*out) contraction (ref :340-344,416-418).
+        states = self._dropout(states, deterministic=not train)
+        b, t, n, h = states.shape
+        flat = jnp.transpose(states, (0, 2, 1, 3)).reshape(b, n, t * h)
+        out = flat @ self._end_kernel + self._end_bias  # (B, N, Tout*out)
+        out = out.reshape(b, n, self.output_window, self.output_dim)
+        return jnp.transpose(out, (0, 2, 1, 3))  # (B, Tout, N, out)
+
+
+def build_multi_atgcn(config, data_feature) -> MultiATGCN:
+    """Construct the module from config + data_feature (ref :221-354)."""
+    num_nodes = data_feature.get("num_nodes", 1)
+    static = data_feature.get("static", None)
+    adj_mx = data_feature.get("adj_mx", None)
+    geo_df = data_feature.get("coordinate", None)
+    adjtype = config.get("adjtype", "od")
+    adpadj = config.get("adpadj", "bidirection")
+    cheb_k = config.get("cheb_order", 2)
+    embed_dim_node = config.get("embed_dim_node", 10)
+    embed_dim_adj = config.get("embed_dim_adj", 10)
+
+    base_adj, support_pairs = graph_views.build_views(adj_mx, static, geo_df, num_nodes, adjtype)
+    supports_static = graph_views.stack_static_supports(support_pairs, cheb_k)
+
+    static_proj = None
+    if static is not None:
+        static_proj = initializers.pca_project(static, min(num_nodes, embed_dim_node))
+
+    node_emb_init = vec1_init = vec2_init = None
+    if config.get("svd_init", False):
+        # The reference's (overwritten) SVD/PCA init recipe, opt-in.
+        vec1_init, vec2_init = initializers.svd_lowrank_embeddings(base_adj, embed_dim_adj)
+        if static is not None:
+            node_emb_init = initializers.pca_project(static, min(num_nodes, embed_dim_node))
+
+    return MultiATGCN(
+        num_nodes=num_nodes,
+        input_window=config.get("input_window", 1),
+        output_window=config.get("output_window", 1),
+        start_dim=config.get("start_dim", 0),
+        end_dim=config.get("end_dim", 1),
+        ext_dim=data_feature.get("ext_dim", 1),
+        hidden_dim=config.get("rnn_units", 64),
+        num_layers=config.get("num_layers", 2),
+        cheb_k=cheb_k,
+        embed_dim_node=embed_dim_node,
+        embed_dim_adj=embed_dim_adj,
+        adjtype=adjtype,
+        adpadj=adpadj,
+        add_time_in_day=config.get("add_time_in_day", False),
+        add_day_in_week=config.get("add_day_in_week", False),
+        load_dynamic=config.get("load_dynamic", False),
+        gcn_off=config.get("gcn_off", False),
+        fnn_off=config.get("fnn_off", False),
+        node_specific_off=config.get("node_specific_off", False),
+        len_closeness=data_feature.get("len_closeness", 0),
+        len_period=data_feature.get("len_period", 0),
+        len_trend=data_feature.get("len_trend", 0),
+        supports_static=supports_static,
+        static_proj=static_proj,
+        node_emb_init_value=node_emb_init,
+        vec1_init_value=vec1_init,
+        vec2_init_value=vec2_init,
+    )
+
+
+def make_loss_fn(model: MultiATGCN, scaler):
+    """calculate_loss: masked MAE on inverse-transformed pred/truth (ref :422-427)."""
+
+    def loss_fn(params, batch, rng=None, train=True):
+        kwargs = {"rngs": {"dropout": rng}} if (train and rng is not None) else {}
+        pred = model.apply(params, batch["X"], train=train, **kwargs)
+        y_true = batch["y"][..., model.start_dim : model.end_dim]
+        return losses.masked_mae(
+            scaler.inverse_transform(pred), scaler.inverse_transform(y_true), 0.0
+        )
+
+    return loss_fn

@@ -1,0 +1,21 @@
+"""Model registry + factory (ref: libcity/utils/utils.py:29-39).
+
+The reference resolves model classes by reflection over task-named modules;
+here it's an explicit registry of builder functions
+``builder(config, data_feature) -> flax.linen.Module``.
+"""
+
+from typing import Callable, Dict
+
+from multistgraph_tpu.models.multi_atgcn import build_multi_atgcn
+
+MODEL_REGISTRY: Dict[str, Callable] = {
+    "MultiATGCN": build_multi_atgcn,
+}
+
+
+def get_model(config, data_feature):
+    name = config["model"]
+    if name not in MODEL_REGISTRY:
+        raise AttributeError("model {} is not registered".format(name))
+    return MODEL_REGISTRY[name](config, data_feature)
