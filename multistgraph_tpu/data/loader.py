@@ -49,6 +49,23 @@ class DeviceDataLoader:
     def __len__(self) -> int:
         return self.num_batches
 
+    def epoch_permutation(self) -> np.ndarray:
+        """(num_batches, B) sample indices for one epoch, shuffled if enabled.
+
+        Used by the executor's single-dispatch scan-over-batches epoch; calling
+        it advances the shuffle RNG exactly like one __iter__ pass would.
+        """
+        order = np.arange(self.num_samples)
+        if self.shuffle:
+            self._rng.shuffle(order)
+        return order[: self.num_batches * self.batch_size].reshape(self.num_batches, self.batch_size)
+
+    def ordered_permutation(self) -> np.ndarray:
+        """(num_batches, B) sample indices in dataset order (eval/test)."""
+        return np.arange(self.num_batches * self.batch_size).reshape(
+            self.num_batches, self.batch_size
+        )
+
     def __iter__(self) -> Iterator[Dict[str, jax.Array]]:
         order = np.arange(self.num_samples)
         if self.shuffle:

@@ -1,0 +1,179 @@
+"""Executor, optimizers/schedulers, evaluator, and the end-to-end pipeline."""
+
+import glob
+import os
+
+import numpy as np
+import pytest
+
+from multistgraph_tpu.executor.optimizers import (
+    LRScheduler,
+    build_lr_scheduler,
+    build_optimizer,
+    get_learning_rate,
+    set_learning_rate,
+)
+
+
+class _Cfg(dict):
+    def get(self, k, d=None):
+        return dict.get(self, k, d)
+
+
+def test_multistep_scheduler_matches_torch_semantics():
+    s = LRScheduler("multisteplr", base_lr=1.0, milestones=[5, 10, 20, 30], decay_ratio=0.75)
+    assert s.lr_for_epoch(0) == 1.0
+    assert s.lr_for_epoch(4) == 1.0
+    assert s.lr_for_epoch(5) == 0.75
+    assert s.lr_for_epoch(10) == 0.75**2
+    assert s.lr_for_epoch(29) == 0.75**3
+    assert s.lr_for_epoch(30) == 0.75**4
+
+
+def test_step_exp_cosine_schedulers():
+    assert LRScheduler("steplr", 1.0, step_size=10, decay_ratio=0.5).lr_for_epoch(25) == 0.25
+    assert LRScheduler("exponentiallr", 1.0, decay_ratio=0.9).lr_for_epoch(2) == pytest.approx(0.81)
+    cos = LRScheduler("cosineannealinglr", 1.0, t_max=30, eta_min=0.1)
+    assert cos.lr_for_epoch(0) == pytest.approx(1.0)
+    assert cos.lr_for_epoch(30) == pytest.approx(0.1)
+
+
+def test_plateau_scheduler():
+    s = LRScheduler("reducelronplateau", 1.0, decay_ratio=0.1, patience=1, threshold=1e-4)
+    s.step_plateau(1.0)
+    assert s.lr_for_epoch(1) == 1.0
+    s.step_plateau(1.0)  # no improvement -> bad_epochs 1
+    s.step_plateau(1.0)  # bad_epochs > patience -> decay
+    assert s.lr_for_epoch(3) == pytest.approx(0.1)
+
+
+def test_build_scheduler_disabled():
+    assert build_lr_scheduler(_Cfg(lr_decay=False)) is None
+    assert build_lr_scheduler(_Cfg(lr_decay=True, lr_scheduler="bogus")) is None
+
+
+def test_optimizer_lr_injection_and_step():
+    import jax.numpy as jnp
+
+    cfg = _Cfg(learner="adam", learning_rate=0.1, clip_grad_norm=True, max_grad_norm=5)
+    tx = build_optimizer(cfg)
+    params = {"w": jnp.ones((3,))}
+    state = tx.init(params)
+    assert get_learning_rate(state) == pytest.approx(0.1)
+    set_learning_rate(state, 0.05)
+    grads = {"w": jnp.ones((3,))}
+    updates, state = tx.update(grads, state, params)
+    # adam first step: update ~= -lr * sign(grad)
+    np.testing.assert_allclose(np.asarray(updates["w"]), -0.05, rtol=1e-2)
+
+
+@pytest.mark.parametrize("learner", ["adam", "sgd", "adagrad", "rmsprop", "unknown"])
+def test_all_optimizers_step(learner):
+    import jax.numpy as jnp
+
+    tx = build_optimizer(_Cfg(learner=learner, learning_rate=0.01, lr_momentum=0.9, weight_decay=1e-4))
+    params = {"w": jnp.ones((2, 2))}
+    state = tx.init(params)
+    updates, _ = tx.update({"w": jnp.ones((2, 2))}, state, params)
+    assert np.isfinite(np.asarray(updates["w"])).all()
+
+
+def test_evaluator_modes_and_artifacts(tmp_path, rng):
+    from multistgraph_tpu.evaluator import TrafficStateEvaluator
+
+    cfg = _Cfg(
+        metrics=["MAE", "masked_MAE", "masked_RMSE", "masked_MAPE", "R2", "EVAR"],
+        evaluator_mode="single", save_mode=["csv", "json"], model="M", dataset="D",
+    )
+    ev = TrafficStateEvaluator(cfg)
+    y_true = np.abs(rng.normal(size=(10, 3, 4, 1))) + 1
+    y_pred = y_true + rng.normal(scale=0.1, size=y_true.shape)
+    ev.collect({"y_true": y_true, "y_pred": y_pred})
+    result = ev.evaluate()
+    assert "MAE@1" in result and "masked_RMSE@3" in result
+    got = result["MAE@2"]
+    want = np.abs(y_pred[:, 1] - y_true[:, 1]).mean()
+    np.testing.assert_allclose(got, want, rtol=1e-4)
+    df = ev.save_result(str(tmp_path))
+    assert len(df) == 3
+    assert glob.glob(str(tmp_path / "*.csv")) and glob.glob(str(tmp_path / "*.json"))
+
+    ev2 = TrafficStateEvaluator(
+        _Cfg(metrics=["MAE"], evaluator_mode="average", save_mode=[], model="M", dataset="D")
+    )
+    ev2.collect({"y_true": y_true, "y_pred": y_pred})
+    avg = ev2.evaluate()
+    np.testing.assert_allclose(
+        avg["MAE@3"], np.abs(y_pred - y_true).mean(), rtol=1e-4
+    )
+
+    with pytest.raises(ValueError):
+        TrafficStateEvaluator(_Cfg(metrics=["BOGUS"]))
+
+
+@pytest.fixture(scope="module")
+def pipeline_run(tmp_path_factory):
+    """One small end-to-end run shared by several assertions."""
+    from multistgraph_tpu.data.synthetic import make_synthetic_dataset
+    from multistgraph_tpu.pipeline import run_model
+
+    root = tmp_path_factory.mktemp("e2e")
+    make_synthetic_dataset(str(root / "raw"), "SYN_E2E", num_nodes=6, len_time=24 * 30, seed=1)
+    out_dir = str(root / "outputs")
+    args = {
+        "data_dir": str(root / "raw"),
+        "output_dir": out_dir,
+        "cache_dir": str(root / "cache"),
+        "exp_id": "testexp",
+        "max_epoch": 2,
+        "len_closeness": 1, "len_period": 1, "len_trend": 1,
+        "interval_period": 2, "interval_trend": 4,
+        "input_window": 24, "output_window": 6,
+        "load_external": True, "load_dynamic": False, "add_time_in_day": True,
+        "groupstd": True, "batch_size": 4,
+        "train_rate": 0.7, "eval_rate": 0.15,
+        "rnn_units": 8, "embed_dim_node": 3, "embed_dim_adj": 3,
+        "use_early_stop": False, "log_every": 1, "seed": 0,
+    }
+    result = run_model(
+        task="traffic_state_pred", model_name="MultiATGCN", dataset_name="SYN_E2E",
+        other_args=args,
+    )
+    return result, out_dir
+
+
+def test_pipeline_end_to_end(pipeline_run):
+    result, out_dir = pipeline_run
+    # per-horizon table with 6 rows and the configured metric columns
+    assert len(result) == 6
+    assert "masked_MAE" in result.columns
+    assert np.isfinite(result["masked_MAE"]).all()
+
+
+def test_pipeline_artifacts(pipeline_run):
+    _, out_dir = pipeline_run
+    eval_dir = os.path.join(out_dir, "testexp", "evaluate_cache")
+    assert glob.glob(os.path.join(eval_dir, "*_predictions.npz"))
+    assert glob.glob(os.path.join(eval_dir, "*_trans.csv"))
+    assert glob.glob(os.path.join(eval_dir, "*_predictions_trans.pkl"))
+    model_dir = os.path.join(out_dir, "testexp", "model_cache")
+    assert glob.glob(os.path.join(model_dir, "*_epoch*.msgpack"))
+    assert glob.glob(os.path.join(model_dir, "MultiATGCN_SYN_E2E.m"))
+    metrics_csv = os.path.join(out_dir, "testexp", "train_metrics.csv")
+    assert os.path.exists(metrics_csv)
+    with open(metrics_csv) as f:
+        lines = [ln for ln in f.read().splitlines() if ln and not ln.startswith("epoch")]
+    assert len(lines) == 2  # two epochs logged
+
+
+def test_group_retransform_metrics_shape(pipeline_run):
+    import pandas as pd
+
+    _, out_dir = pipeline_run
+    eval_dir = os.path.join(out_dir, "testexp", "evaluate_cache")
+    trans = pd.read_csv(glob.glob(os.path.join(eval_dir, "*_trans.csv"))[0])
+    assert list(trans.columns[1:]) == [
+        "Model_name", "index", "Model_time", "MAE", "MSE", "RMSE", "R2", "EVAR", "MAPE"
+    ]
+    assert len(trans) == 6
+    assert np.isfinite(trans["MAE"]).all()
