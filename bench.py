@@ -1,0 +1,122 @@
+"""Benchmark: training throughput on the DC-237 headline workload.
+
+Workload mirrors the reference's flagship configuration (BASELINE.md): 237
+nodes, hourly series, 96-step multi-temporal-head input (closeness 2 / period
+1 / trend 1 at 7/28-day strides), 24h horizon, full multi-view graph
+(OD + distance + semantic) with bidirectional adaptive adjacency and static
+features, batch 16 — on a synthetic statistically-matched dataset (the raw
+archives are absent from the reference repo).
+
+Prints ONE JSON line:
+  {"metric": "epochs_per_hour_dc237", "value": ..., "unit": "epochs/hr",
+   "vs_baseline": ...}
+vs_baseline compares against the reference PyTorch implementation measured on
+the shared host CPU (BASELINE_MEASURED.json, tools/measure_reference_baseline.py).
+"""
+
+import json
+import os
+import sys
+import time
+
+ROOT = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, ROOT)
+
+NUM_NODES = 237
+LEN_TIME = 24 * 151  # Jan 1 - May 31 hourly, like DC
+TIMED_EPOCHS = 3
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+
+    from multistgraph_tpu.config import load_config
+    from multistgraph_tpu.data import get_dataset
+    from multistgraph_tpu.data.synthetic import make_synthetic_dataset
+    from multistgraph_tpu.executor import get_executor
+    from multistgraph_tpu.models import get_model
+
+    bench_root = os.path.join(ROOT, "outputs", "bench")
+    raw_dir = os.path.join(bench_root, "raw_data")
+    ds_name = "SYN_DC237"
+    if not os.path.exists(os.path.join(raw_dir, ds_name, "config.json")):
+        log("generating synthetic DC-237 dataset ...")
+        make_synthetic_dataset(
+            raw_dir, ds_name, num_nodes=NUM_NODES, len_time=LEN_TIME,
+            node_mean=30.169, node_std=84.023, seed=42,
+        )
+
+    args = {
+        "data_dir": raw_dir,
+        "cache_dir": os.path.join(bench_root, "dataset_cache"),
+        "output_dir": os.path.join(bench_root, "outputs"),
+        "exp_id": "bench",
+        "input_window": 24, "output_window": 24,
+        "len_closeness": 2, "len_period": 1, "len_trend": 1,
+        "interval_period": 7, "interval_trend": 28,
+        "load_external": True, "load_dynamic": False, "add_time_in_day": True,
+        "groupstd": True, "add_static": True,
+        "adjtype": "multi", "adpadj": "bidirection",
+        "batch_size": 16, "train_rate": 0.7, "eval_rate": 0.15,
+        "max_epoch": TIMED_EPOCHS, "saved_model": False, "use_early_stop": False,
+        "seed": 0,
+    }
+    config = load_config("traffic_state_pred", "MultiATGCN", ds_name, other_args=args)
+    t0 = time.time()
+    dataset = get_dataset(config)
+    train_loader, _val_loader, _test_loader = dataset.get_data()
+    feature = dataset.get_data_feature()
+    log("data ready in {:.1f}s ({} train batches)".format(time.time() - t0, len(train_loader)))
+
+    model = get_model(config, feature)
+    executor = get_executor(config, model, feature)
+
+    import jax.numpy as jnp
+
+    def run_epoch(key):
+        perm = jnp.asarray(train_loader.epoch_permutation())
+        executor.params, executor.opt_state, mean_loss = executor._train_epoch_scan(
+            executor.params, executor.opt_state,
+            train_loader.x, train_loader.y, perm, key, 3e-3,
+        )
+        return float(mean_loss)  # hard sync
+
+    keys = jax.random.split(jax.random.PRNGKey(0), TIMED_EPOCHS + 1)
+    t0 = time.time()
+    loss = run_epoch(keys[0])
+    compile_s = time.time() - t0
+    log("warmup epoch (compile) {:.1f}s, loss {:.4f}".format(compile_s, loss))
+
+    t0 = time.time()
+    for i in range(TIMED_EPOCHS):
+        loss = run_epoch(keys[i + 1])
+    epoch_seconds = (time.time() - t0) / TIMED_EPOCHS
+    epochs_per_hour = 3600.0 / epoch_seconds
+    steps_per_second = len(train_loader) / epoch_seconds
+    log(
+        "epoch {:.3f}s | {:.1f} steps/s | final loss {:.4f} | device {}".format(
+            epoch_seconds, steps_per_second, loss, jax.devices()[0].platform
+        )
+    )
+
+    vs_baseline = None
+    baseline_path = os.path.join(ROOT, "BASELINE_MEASURED.json")
+    if os.path.exists(baseline_path):
+        with open(baseline_path) as f:
+            ref = json.load(f)
+        vs_baseline = epochs_per_hour / ref["reference_epochs_per_hour"]
+
+    print(json.dumps({
+        "metric": "epochs_per_hour_dc237",
+        "value": round(epochs_per_hour, 2),
+        "unit": "epochs/hr",
+        "vs_baseline": round(vs_baseline, 2) if vs_baseline else 1.0,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,113 @@
+"""Block-sparse (BSR) graph representation for TPU kernels.
+
+The reference materializes dense N x N supports (fine at N<=403, impossible at
+the 50k/1M-node synthetic scale of BASELINE.json configs 4-5). The TPU-native
+sparse format is Block-CSR with MXU-aligned dense tiles:
+
+  * nodes padded to a multiple of `block` (default 128, the MXU/lane width);
+  * nonzero (row_block, col_block) tiles stored densely:
+      values  (nnz_blocks, block, block) float32
+      row_of  (nnz_blocks,) int32   — row-block index, sorted ascending
+      col_of  (nnz_blocks,) int32   — col-block index
+  * row-major block order so SpMM output tiles are revisited contiguously.
+
+Host-side construction from COO edges or a dense matrix; the arrays ship to
+device once per graph.
+"""
+
+from dataclasses import dataclass
+from typing import Tuple
+
+import numpy as np
+
+
+@dataclass(frozen=True)
+class BSRGraph:
+    values: np.ndarray   # (nnz_blocks, block, block)
+    row_of: np.ndarray   # (nnz_blocks,)
+    col_of: np.ndarray   # (nnz_blocks,)
+    num_nodes: int       # un-padded node count
+    block: int
+
+    @property
+    def padded_nodes(self) -> int:
+        return -(-self.num_nodes // self.block) * self.block
+
+    @property
+    def num_row_blocks(self) -> int:
+        return self.padded_nodes // self.block
+
+    @property
+    def nnz_blocks(self) -> int:
+        return int(self.values.shape[0])
+
+    @property
+    def nnz_edges(self) -> int:
+        return int((self.values != 0).sum())
+
+    def to_dense(self) -> np.ndarray:
+        n = self.padded_nodes
+        out = np.zeros((n, n), dtype=self.values.dtype)
+        b = self.block
+        for v, r, c in zip(self.values, self.row_of, self.col_of):
+            out[r * b : (r + 1) * b, c * b : (c + 1) * b] = v
+        return out[: self.num_nodes, : self.num_nodes]
+
+
+def bsr_from_coo(
+    src: np.ndarray, dst: np.ndarray, weights: np.ndarray, num_nodes: int, block: int = 128
+) -> BSRGraph:
+    """Build BSR from COO edges (duplicate edges accumulate)."""
+    rb = src // block
+    cb = dst // block
+    n_blocks = -(-num_nodes // block)
+    key = rb.astype(np.int64) * n_blocks + cb
+    uniq, inverse = np.unique(key, return_inverse=True)
+    values = np.zeros((len(uniq), block, block), dtype=np.float32)
+    np.add.at(values, (inverse, src % block, dst % block), weights.astype(np.float32))
+    return BSRGraph(
+        values=values,
+        row_of=(uniq // n_blocks).astype(np.int32),
+        col_of=(uniq % n_blocks).astype(np.int32),
+        num_nodes=num_nodes,
+        block=block,
+    )
+
+
+def bsr_from_dense(adj: np.ndarray, block: int = 128) -> BSRGraph:
+    """Build BSR from a dense adjacency, keeping only nonzero tiles."""
+    n = adj.shape[0]
+    pad = -(-n // block) * block
+    padded = np.zeros((pad, pad), dtype=np.float32)
+    padded[:n, :n] = adj
+    nb = pad // block
+    tiles = padded.reshape(nb, block, nb, block).transpose(0, 2, 1, 3)
+    mask = np.abs(tiles).sum(axis=(2, 3)) > 0
+    rows, cols = np.nonzero(mask)
+    return BSRGraph(
+        values=tiles[rows, cols].astype(np.float32),
+        row_of=rows.astype(np.int32),
+        col_of=cols.astype(np.int32),
+        num_nodes=n,
+        block=block,
+    )
+
+
+def random_powerlaw_graph(
+    num_nodes: int, avg_degree: int = 16, seed: int = 0, block: int = 128
+) -> Tuple[BSRGraph, int]:
+    """Synthetic power-law-degree graph (BASELINE.json configs 4-5).
+
+    Preferential-attachment-style destination sampling via a Zipf-distributed
+    popularity; returns (graph, num_edges).
+    """
+    rng = np.random.default_rng(seed)
+    num_edges = num_nodes * avg_degree
+    src = rng.integers(0, num_nodes, num_edges)
+    # Zipf popularity ranking with random permutation of node ids.
+    ranks = rng.zipf(1.5, num_edges).astype(np.int64) % num_nodes
+    perm = rng.permutation(num_nodes)
+    dst = perm[ranks]
+    w = rng.uniform(0.1, 1.0, num_edges).astype(np.float32)
+    graph = bsr_from_coo(src, dst, w, num_nodes, block)
+    return graph, num_edges
