@@ -1,13 +1,24 @@
-"""Pallas TPU SpMM: block-sparse adjacency times dense node features.
+"""Pallas TPU block-sparse kernels: SpMM and SDDMM with custom VJPs.
 
-Y = A @ X with A in BSR form (ops/bsr.py) and X (padded_nodes, feat). Grid
-iterates the nonzero blocks in row-major order; the output tile for a row
-block stays resident in VMEM while its blocks stream through (revisited
-output pattern), each step doing one 128x128 x 128xF MXU matmul. Block row
-and column indices arrive via scalar prefetch so the BlockSpec index_maps can
-steer the DMA pipeline (X tiles double-buffered by the Pallas runtime).
+Forward kernels:
+  * SpMM  — Y = A @ X with A in BSR form (ops/bsr.py). Grid iterates nonzero
+    blocks row-major; each step is one 128x128 x 128xF MXU matmul accumulated
+    into the output tile, which is zero-initialized via an aliased zeros
+    input (so uncovered rows are correctly zero) and stays VMEM-resident
+    while its row's blocks stream through.
+  * sampled matmul (SDDMM core) — (A @ B)[pattern]: one output tile per
+    nonzero block of the graph.
 
-This is the aggregation kernel for graphs where dense N x N supports are
+Both use PrefetchScalarGridSpec so the block row/column index arrays steer
+the BlockSpec DMA pipeline.
+
+Backward passes close under the same two kernels (defined as custom VJPs
+because autodiff through scalar-prefetch pallas_calls is unsupported):
+  * d/dX  SpMM   = SpMM with the block-transposed graph;
+  * d/dA  SpMM   = sampled_matmul(dY, X^T) at the graph pattern;
+  * d/dE1 SDDMM  = SpMM(mask.dS, E2^T);  d/dE2 = SpMM(transpose(mask.dS), E1)^T.
+
+This is the aggregation path for graphs where dense N x N supports are
 impossible (50k-1M nodes, BASELINE.json configs 4-5). Dense einsum remains
 the fast path at N<=403.
 """
@@ -16,77 +27,65 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _spmm_kernel(row_of_ref, col_of_ref, values_ref, x_ref, out_ref):
-    i = pl.program_id(0)
+def _int_zero_grads(*arrays):
+    return tuple(np.zeros(a.shape, dtype=jax.dtypes.float0) for a in arrays)
 
-    @pl.when((i == 0) | (row_of_ref[i] != row_of_ref[jnp.maximum(i - 1, 0)]))
-    def _():
-        out_ref[...] = jnp.zeros_like(out_ref)
 
-    out_ref[...] += jnp.dot(
-        values_ref[0], x_ref[0], preferred_element_type=jnp.float32
-    )
+# --------------------------------------------------------------------- SpMM
+def _spmm_kernel(row_of_ref, col_of_ref, values_ref, x_ref, init_ref, out_ref):
+    del row_of_ref, init_ref  # init is aliased into out; row steers the out index_map
+    out_ref[...] += jnp.dot(values_ref[0], x_ref[0], preferred_element_type=jnp.float32)
 
 
 @functools.partial(jax.jit, static_argnames=("block", "interpret"))
-def spmm(values, row_of, col_of, x, block: int = 128, interpret: bool = False):
-    """Y = A @ X.
-
-    values (nnz, block, block) f32; row_of/col_of (nnz,) int32 sorted by row;
-    x (padded_nodes, feat) with feat a multiple of 128 for full MXU tiles.
-    Returns (padded_nodes, feat).
-    """
+def _spmm_impl(values, row_of, col_of, x, block: int, interpret: bool):
     nnz = values.shape[0]
     n_pad, feat = x.shape
     n_blocks = n_pad // block
-
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(nnz,),
         in_specs=[
             pl.BlockSpec((1, block, block), lambda i, row_of, col_of: (i, 0, 0)),
             pl.BlockSpec((1, block, feat), lambda i, row_of, col_of: (col_of[i], 0, 0)),
+            pl.BlockSpec((1, block, feat), lambda i, row_of, col_of: (row_of[i], 0, 0)),
         ],
         out_specs=pl.BlockSpec((1, block, feat), lambda i, row_of, col_of: (row_of[i], 0, 0)),
     )
+    init = jnp.zeros((n_blocks, block, feat), jnp.float32)
     out = pl.pallas_call(
         _spmm_kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_blocks, block, feat), jnp.float32),
+        input_output_aliases={4: 0},  # indices count the scalar-prefetch args
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * nnz * block * block * feat,
             bytes_accessed=nnz * block * block * 4 + nnz * block * feat * 8,
             transcendentals=0,
         ),
-    )(row_of, col_of, values, x.reshape(n_blocks, block, feat))
+    )(row_of, col_of, values, x.reshape(n_blocks, block, feat), init)
     return out.reshape(n_pad, feat)
 
 
-def _sddmm_kernel(row_of_ref, col_of_ref, e1_ref, e2_ref, out_ref):
-    out_ref[...] = jnp.maximum(
-        jnp.dot(e1_ref[...], e2_ref[...], preferred_element_type=jnp.float32), 0.0
-    )[None]
+# --------------------------------------------------- sampled matmul (SDDMM)
+def _sampled_kernel(row_of_ref, col_of_ref, a_ref, b_ref, out_ref):
+    out_ref[...] = jnp.dot(a_ref[...], b_ref[...], preferred_element_type=jnp.float32)[None]
 
 
 @functools.partial(jax.jit, static_argnames=("block", "interpret"))
-def sddmm_relu(e1, e2, row_of, col_of, block: int = 128, interpret: bool = False):
-    """Sampled dense-dense matmul: relu(E1 @ E2) at the graph's nonzero blocks.
+def _sampled_matmul_impl(a, b, row_of, col_of, block: int, interpret: bool):
+    """(A @ B) evaluated only at the graph's nonzero blocks.
 
-    e1 (padded_nodes, d), e2 (d, padded_nodes), d a multiple of 128 preferred.
-    Returns (nnz, block, block) block values — the adaptive-adjacency scores
-    softmax(relu(E1 E2^T)) before row normalization (ref MultiATGCN.py:81-83;
-    at sparse scale the softmax is taken over the sampled support, see
-    ops/adaptive.py).
+    a (n_pad, d), b (d, n_pad) -> (nnz, block, block).
     """
     nnz = row_of.shape[0]
-    n_pad, d = e1.shape
-    n_blocks = n_pad // block
-
+    d = a.shape[1]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(nnz,),
@@ -97,7 +96,7 @@ def sddmm_relu(e1, e2, row_of, col_of, block: int = 128, interpret: bool = False
         out_specs=pl.BlockSpec((1, block, block), lambda i, row_of, col_of: (i, 0, 0)),
     )
     return pl.pallas_call(
-        _sddmm_kernel,
+        _sampled_kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((nnz, block, block), jnp.float32),
         interpret=interpret,
@@ -106,16 +105,93 @@ def sddmm_relu(e1, e2, row_of, col_of, block: int = 128, interpret: bool = False
             bytes_accessed=nnz * (2 * block * d + block * block) * 4,
             transcendentals=0,
         ),
-    )(row_of, col_of, e1, e2)
+    )(row_of, col_of, a, b)
+
+
+def bsr_transpose(values, row_of, col_of, n_blocks: int):
+    """Block-transpose: swap row/col, transpose tiles, re-sort row-major."""
+    key = col_of.astype(jnp.int64) * n_blocks + row_of
+    perm = jnp.argsort(key)
+    return (
+        jnp.transpose(values[perm], (0, 2, 1)),
+        col_of[perm],
+        row_of[perm],
+    )
+
+
+# ------------------------------------------------------- public: spmm (VJP)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _spmm_vjp(values, row_of, col_of, x, block, interpret):
+    return _spmm_impl(values, row_of, col_of, x, block=block, interpret=interpret)
+
+
+def _spmm_fwd(values, row_of, col_of, x, block, interpret):
+    y = _spmm_impl(values, row_of, col_of, x, block=block, interpret=interpret)
+    return y, (values, row_of, col_of, x)
+
+
+def _spmm_bwd(block, interpret, res, dy):
+    values, row_of, col_of, x = res
+    n_blocks = x.shape[0] // block
+    v_t, r_t, c_t = bsr_transpose(values, row_of, col_of, n_blocks)
+    dx = _spmm_impl(v_t, r_t, c_t, dy, block=block, interpret=interpret)
+    dvalues = _sampled_matmul_impl(dy, x.T, row_of, col_of, block=block, interpret=interpret)
+    zr, zc = _int_zero_grads(row_of, col_of)
+    return dvalues, zr, zc, dx
+
+
+_spmm_vjp.defvjp(_spmm_fwd, _spmm_bwd)
+
+
+def spmm(values, row_of, col_of, x, block: int = 128, interpret: bool = False):
+    """Y = A @ X; values (nnz, b, b) f32, row_of/col_of (nnz,) int32 sorted by
+    row, x (padded_nodes, feat). Differentiable w.r.t. values and x."""
+    return _spmm_vjp(values, row_of, col_of, x, block, interpret)
+
+
+# -------------------------------------------------- public: sddmm_relu (VJP)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _sddmm_vjp(e1, e2, row_of, col_of, block, interpret):
+    raw = _sampled_matmul_impl(e1, e2, row_of, col_of, block=block, interpret=interpret)
+    return jnp.maximum(raw, 0.0)
+
+
+def _sddmm_fwd(e1, e2, row_of, col_of, block, interpret):
+    raw = _sampled_matmul_impl(e1, e2, row_of, col_of, block=block, interpret=interpret)
+    return jnp.maximum(raw, 0.0), (e1, e2, row_of, col_of, raw > 0)
+
+
+def _sddmm_bwd(block, interpret, res, ds):
+    e1, e2, row_of, col_of, mask = res
+    dm = jnp.where(mask, ds, 0.0)
+    n_blocks = e1.shape[0] // block
+    de1 = _spmm_impl(dm, row_of, col_of, e2.T, block=block, interpret=interpret)
+    m_t, r_t, c_t = bsr_transpose(dm, row_of, col_of, n_blocks)
+    de2 = _spmm_impl(m_t, r_t, c_t, e1, block=block, interpret=interpret).T
+    zr, zc = _int_zero_grads(row_of, col_of)
+    return de1, de2, zr, zc
+
+
+_sddmm_vjp.defvjp(_sddmm_fwd, _sddmm_bwd)
+
+
+def sddmm_relu(e1, e2, row_of, col_of, block: int = 128, interpret: bool = False):
+    """relu(E1 @ E2) at the graph's nonzero blocks -> (nnz, block, block).
+
+    The adaptive-adjacency scores softmax(relu(E1 E2^T)) before row
+    normalization (ref MultiATGCN.py:81-83; at sparse scale the softmax is
+    over the sampled support — see sparse_row_softmax). Differentiable.
+    """
+    return _sddmm_vjp(e1, e2, row_of, col_of, block, interpret)
 
 
 def sparse_row_softmax(values, row_of, num_row_blocks: int):
-    """Row-normalize BSR scores: values[b,i,j] / sum_j' over the row.
+    """Row-normalize BSR scores: exp(v)/sum over the row's sampled entries.
 
-    Sparse analogue of softmax(relu(.)) with exp omitted on zeros — the dense
-    reference includes exp(0)=1 terms for absent edges, which vanish at 1M
-    nodes; the sparse definition normalizes over sampled edges only
-    (documented deviation, exact at full density).
+    Sparse analogue of softmax(relu(.)): the dense reference includes
+    exp(0)=1 terms for absent edges, which vanish at 1M nodes; the sparse
+    definition normalizes over sampled edges only (documented deviation,
+    exact at full density).
     """
     exp_vals = jnp.where(values > 0, jnp.exp(values), 0.0)
     per_block_rowsum = exp_vals.sum(axis=2)  # (nnz, block)

@@ -1,0 +1,118 @@
+"""SparseATGCN: numeric cross-check against a dense emulation + grads."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from multistgraph_tpu.models.sparse_atgcn import build_sparse_atgcn
+from multistgraph_tpu.ops import bsr
+
+BLOCK = 128
+N_PAD = 2 * BLOCK
+
+
+def _graph(rng, density=0.05):
+    dense = (rng.uniform(size=(N_PAD, N_PAD)) < density).astype(np.float32) * rng.normal(
+        size=(N_PAD, N_PAD)
+    ).astype(np.float32)
+    return bsr.bsr_from_dense(dense, block=BLOCK), dense
+
+
+def _config(**overrides):
+    cfg = {
+        "output_window": 3, "output_dim": 1, "rnn_units": 8, "num_layers": 2,
+        "embed_dim_adj": 4, "adpadj": "none", "node_conditioned": "off",
+        "embed_dim_node": 4,
+    }
+    cfg.update(overrides)
+    return cfg
+
+
+def _dense_emulation(params, dense_adj, x, cfg, node_emb=None):
+    """Re-derive the sparse model's math with plain numpy (shared weights)."""
+    b, t, n, f = x.shape
+    h = cfg["rnn_units"]
+    supports = [np.eye(n, dtype=np.float32), dense_adj]
+
+    def aggregate(v):  # v (N, B, C) -> (K, N, B, C)
+        return np.stack([s @ v.reshape(n, -1) for s in supports]).reshape(2, n, *v.shape[1:])
+
+    def mix(stack, pool, bias):  # stack (K,N,B,C)
+        return np.einsum("knbi,kio->nbo", stack, pool) + bias[0][None, None]
+
+    cur = x.transpose(1, 2, 0, 3)  # (T,N,B,C)
+    p = params["params"]
+    for layer in range(cfg["num_layers"]):
+        pg, bg = np.asarray(p["l{}_gate_pool".format(layer)]), np.asarray(p["l{}_gate_bias".format(layer)])
+        pu, bu = np.asarray(p["l{}_update_pool".format(layer)]), np.asarray(p["l{}_update_bias".format(layer)])
+        state = np.zeros((n, b, h), np.float32)
+        outs = []
+        for ti in range(t):
+            xt = cur[ti]
+            ax = aggregate(xt)
+            ah = aggregate(state)
+            zr = 1 / (1 + np.exp(-mix(np.concatenate([ax, ah], -1), pg, bg)))
+            z, r = zr[..., :h], zr[..., h:]
+            azh = aggregate(z * state)
+            hc = np.tanh(mix(np.concatenate([ax, azh], -1), pu, bu))
+            state = r * state + (1 - r) * hc
+            outs.append(state)
+        cur = np.stack(outs)
+    last = cur[-1]
+    out = last @ np.asarray(p["end_kernel"]) + np.asarray(p["end_bias"])[0]
+    out = out.reshape(n, b, cfg["output_window"], cfg["output_dim"])
+    return out.transpose(1, 2, 0, 3)
+
+
+def test_sparse_matches_dense_emulation(rng):
+    graph, dense = _graph(rng)
+    cfg = _config()
+    model = build_sparse_atgcn(graph, cfg, interpret=True)
+    x = jnp.asarray(rng.normal(size=(2, 4, N_PAD, 1)).astype(np.float32))
+    params = model.init(jax.random.PRNGKey(0), x, train=False)
+    got = np.asarray(model.apply(params, x, train=False))
+    pad_dense = np.zeros((N_PAD, N_PAD), np.float32)
+    pad_dense[: graph.num_nodes, : graph.num_nodes] = dense
+    want = _dense_emulation(params, pad_dense, np.asarray(x), cfg)
+    np.testing.assert_allclose(got, want, atol=2e-3, rtol=2e-3)
+
+
+def test_adaptive_path_runs_and_grads(rng):
+    graph, _ = _graph(rng)
+    cfg = _config(adpadj="unidirection")
+    model = build_sparse_atgcn(graph, cfg, interpret=True)
+    x = jnp.asarray(rng.normal(size=(2, 3, N_PAD, 1)).astype(np.float32))
+    params = model.init(jax.random.PRNGKey(0), x, train=False)
+    assert "node_vec1" in params["params"]
+
+    def loss(p):
+        return jnp.mean(jnp.square(model.apply(p, x, train=False)))
+
+    val, grads = jax.value_and_grad(loss)(params)
+    assert np.isfinite(float(val))
+    g1 = np.abs(np.asarray(grads["params"]["node_vec1"])).sum()
+    assert g1 > 0  # adaptive embedding receives gradient through SDDMM+softmax+SpMM
+
+
+def test_factored_node_conditioning(rng):
+    graph, _ = _graph(rng)
+    cfg = _config(node_conditioned="factored", embed_dim_node=4)
+    model = build_sparse_atgcn(graph, cfg, interpret=True)
+    x = jnp.asarray(rng.normal(size=(2, 3, N_PAD, 1)).astype(np.float32))
+    params = model.init(jax.random.PRNGKey(0), x, train=False)
+    assert params["params"]["l0_gate_pool"].shape[0] == 4  # expert dim leads
+    out = model.apply(params, x, train=False)
+    assert out.shape == (2, 3, N_PAD, 1)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_remat_matches_plain(rng):
+    graph, _ = _graph(rng)
+    x = jnp.asarray(rng.normal(size=(1, 3, N_PAD, 1)).astype(np.float32))
+    m1 = build_sparse_atgcn(graph, _config(), interpret=True)
+    params = m1.init(jax.random.PRNGKey(0), x, train=False)
+    m2 = build_sparse_atgcn(graph, _config(remat=True), interpret=True)
+    o1 = np.asarray(m1.apply(params, x, train=False))
+    o2 = np.asarray(m2.apply(params, x, train=False))
+    np.testing.assert_allclose(o1, o2, atol=1e-5)

@@ -58,20 +58,70 @@ def test_spmm_matches_dense(rng):
     np.testing.assert_allclose(y, want, atol=1e-3, rtol=1e-3)
 
 
-def test_spmm_empty_rows(rng):
+def test_spmm_empty_rows_are_zero(rng):
     # graph whose later row-blocks have no edges: their outputs must be zero
+    # (zero-initialized aliased output covers unvisited rows)
     n = 384
     dense = np.zeros((n, n), dtype=np.float32)
     dense[:100, :100] = rng.normal(size=(100, 100)).astype(np.float32)
     g = bsr.bsr_from_dense(dense, block=BLOCK)
     x = rng.normal(size=(g.padded_nodes, 128)).astype(np.float32)
     y = np.asarray(spmm(g.values, g.row_of, g.col_of, x, interpret=True))
-    np.testing.assert_allclose(y[:100], (dense @ x[:384])[:100], atol=1e-3, rtol=1e-3)
-    # rows with no blocks are never written: they may contain garbage in the
-    # revisited-output pattern; mask them host-side via row occupancy.
-    occupied = np.zeros(g.num_row_blocks, dtype=bool)
-    occupied[g.row_of] = True
-    assert occupied[0] and not occupied[2]
+    np.testing.assert_allclose(y, dense @ x[:384], atol=1e-3, rtol=1e-3)
+
+
+def test_spmm_gradients_match_dense(rng):
+    import jax
+    import jax.numpy as jnp
+
+    g, dense = _random_bsr(rng, n=256, density=0.08)
+    x = rng.normal(size=(g.padded_nodes, 128)).astype(np.float32)
+    dy_seed = rng.normal(size=(g.padded_nodes, 128)).astype(np.float32)
+
+    def loss_sparse(values, xx):
+        y = spmm(values, g.row_of, g.col_of, xx, interpret=True)
+        return jnp.sum(y * dy_seed)
+
+    dvals, dx = jax.grad(loss_sparse, argnums=(0, 1))(jnp.asarray(g.values), jnp.asarray(x))
+    # dense references: dX = A^T dY ; dA = dY X^T (sampled at blocks)
+    want_dx = g.to_dense().T @ dy_seed[: g.num_nodes]
+    np.testing.assert_allclose(np.asarray(dx)[: g.num_nodes], want_dx, atol=1e-2, rtol=1e-2)
+    want_da_full = dy_seed @ x.T
+    for b in range(min(g.nnz_blocks, 3)):
+        r, c = g.row_of[b], g.col_of[b]
+        np.testing.assert_allclose(
+            np.asarray(dvals)[b],
+            want_da_full[r * BLOCK : (r + 1) * BLOCK, c * BLOCK : (c + 1) * BLOCK],
+            atol=1e-2, rtol=1e-2,
+        )
+
+
+def test_sddmm_gradients_match_dense(rng):
+    import jax
+    import jax.numpy as jnp
+
+    g, _ = _random_bsr(rng, n=256, density=0.08)
+    d = 128
+    e1 = rng.normal(size=(g.padded_nodes, d)).astype(np.float32)
+    e2 = rng.normal(size=(d, g.padded_nodes)).astype(np.float32)
+    seed = rng.normal(size=(g.nnz_blocks, BLOCK, BLOCK)).astype(np.float32)
+
+    def loss_sparse(a, b):
+        return jnp.sum(sddmm_relu(a, b, g.row_of, g.col_of, interpret=True) * seed)
+
+    de1, de2 = jax.grad(loss_sparse, argnums=(0, 1))(jnp.asarray(e1), jnp.asarray(e2))
+
+    def loss_dense(a, b):
+        full = jnp.maximum(a @ b, 0.0)
+        total = 0.0
+        for i in range(g.nnz_blocks):
+            r, c = int(g.row_of[i]), int(g.col_of[i])
+            total += jnp.sum(full[r * BLOCK : (r + 1) * BLOCK, c * BLOCK : (c + 1) * BLOCK] * seed[i])
+        return total
+
+    want1, want2 = jax.grad(loss_dense, argnums=(0, 1))(jnp.asarray(e1), jnp.asarray(e2))
+    np.testing.assert_allclose(np.asarray(de1), np.asarray(want1), atol=1e-2, rtol=1e-2)
+    np.testing.assert_allclose(np.asarray(de2), np.asarray(want2), atol=1e-2, rtol=1e-2)
 
 
 def test_sddmm_matches_dense(rng):
