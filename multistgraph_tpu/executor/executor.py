@@ -87,6 +87,20 @@ class TrafficStateExecutor:
         self.hyper_tune = config.get("hyper_tune", False)
         self.report_hook = None  # set by the hyperparameter tuner
 
+        # Optional data parallelism: shard the batch dim of every in-epoch
+        # batch over a mesh of all visible devices; XLA inserts the gradient
+        # all-reduce. The reference has no distributed training (SURVEY §2.6).
+        self._mesh = None
+        self._batch_sharding = None
+        if config.get("data_parallel", False) and len(jax.devices()) > 1:
+            from multistgraph_tpu.parallel.mesh import make_mesh
+
+            self._mesh = make_mesh(axes=("data",))
+            self._batch_sharding = jax.sharding.NamedSharding(
+                self._mesh, jax.sharding.PartitionSpec("data")
+            )
+            self._logger.info("data parallelism over %d devices", len(jax.devices()))
+
         # Parameter init from a dummy batch of the dataset's shapes.
         seed = config.get("seed", 0)
         self._rng = jax.random.PRNGKey(seed)
@@ -186,6 +200,11 @@ class TrafficStateExecutor:
             params, opt_state = carry
             idx, step = inputs
             batch = {"X": jnp.take(x, idx, axis=0), "y": jnp.take(y, idx, axis=0)}
+            if self._batch_sharding is not None:
+                batch = {
+                    k: jax.lax.with_sharding_constraint(v, self._batch_sharding)
+                    for k, v in batch.items()
+                }
             rng = jax.random.fold_in(epoch_key, step)
             loss, grads = jax.value_and_grad(self.loss_fn)(params, batch, rng=rng, train=True)
             updates, opt_state = self.optimizer.update(grads["params"], opt_state, params["params"])
