@@ -149,6 +149,109 @@ def load_dyna(
 
 
 @dataclass
+class GridGeoTable(GeoTable):
+    len_row: int = 0
+    len_column: int = 0
+
+
+def load_grid_geo(path: str) -> GridGeoTable:
+    """.geo with row_id/column_id grid coordinates (ref :108-124)."""
+    df = pd.read_csv(path)
+    geo_ids = list(df["geo_id"])
+    return GridGeoTable(
+        df=df,
+        geo_ids=geo_ids,
+        geo_to_ind={g: i for i, g in enumerate(geo_ids)},
+        len_row=int(df["row_id"].max()) + 1,
+        len_column=int(df["column_id"].max()) + 1,
+    )
+
+
+def grid_adjacency(len_row: int, len_column: int) -> np.ndarray:
+    """8-neighbor grid adjacency (ref: traffic_state_datatset.py:189-208)."""
+    n = len_row * len_column
+    adj = np.zeros((n, n), dtype=np.float32)
+    rows, cols = np.meshgrid(np.arange(len_row), np.arange(len_column), indexing="ij")
+    idx = (rows * len_column + cols).ravel()
+    for dr, dc in ((0, 1), (1, 0), (-1, 0), (0, -1), (1, 1), (1, -1), (-1, 1), (-1, -1)):
+        nr, nc = rows + dr, cols + dc
+        valid = ((nr >= 0) & (nr < len_row) & (nc >= 0) & (nc < len_column)).ravel()
+        nidx = (nr * len_column + nc).ravel()
+        adj[idx[valid], nidx[valid]] = 1.0
+        adj[nidx[valid], idx[valid]] = 1.0
+    return adj
+
+
+def _timestamps_from(series: pd.Series) -> Optional[np.ndarray]:
+    if series.isna().any():
+        return None
+    cleaned = series.astype(str).str.replace("T", " ", regex=False).str.replace("Z", "", regex=False)
+    return cleaned.to_numpy(dtype="datetime64[ns]")
+
+
+def _select_columns(df: pd.DataFrame, data_col, key_cols: List[str]) -> pd.DataFrame:
+    if data_col:
+        cols = list(data_col) if isinstance(data_col, (list, tuple)) else [data_col]
+        return df[key_cols + cols]
+    return df[df.columns[2:]]
+
+
+def load_grid(
+    path: str, geo: GridGeoTable, data_col=None, as_4d: bool = False
+) -> DynaData:
+    """.grid file -> (T, num_grids, F) or (T, len_row, len_column, F) when
+    as_4d (ref :289-383). Rows are grid-major (row*len_column+col), then time."""
+    df = pd.read_csv(path)
+    df = _select_columns(df, data_col, ["time", "row_id", "column_id"])
+    n = geo.num_nodes
+    len_time = df.shape[0] // n
+    timestamps = _timestamps_from(df["time"][:len_time])
+    feature_cols = [c for c in df.columns if c not in ("time", "row_id", "column_id")]
+    values = df[feature_cols].to_numpy(np.float64).reshape(n, len_time, len(feature_cols))
+    values = values.swapaxes(0, 1)  # (T, num_grids, F)
+    if as_4d:
+        values = values.reshape(len_time, geo.len_row, geo.len_column, len(feature_cols))
+    return DynaData(values=values, timestamps=timestamps)
+
+
+def load_od_4d(path: str, geo: GeoTable, data_col=None) -> DynaData:
+    """.od file -> (T, N, N, F) (ref :385-431). Rows are origin-major, then
+    destination, then time."""
+    df = pd.read_csv(path)
+    df = _select_columns(df, data_col, ["time", "origin_id", "destination_id"])
+    n = geo.num_nodes
+    len_time = df.shape[0] // (n * n)
+    timestamps = _timestamps_from(df["time"][:len_time])
+    feature_cols = [
+        c for c in df.columns if c not in ("time", "origin_id", "destination_id")
+    ]
+    values = df[feature_cols].to_numpy(np.float64).reshape(n, n, len_time, len(feature_cols))
+    values = values.transpose(2, 0, 1, 3)
+    return DynaData(values=values, timestamps=timestamps)
+
+
+def load_grid_od(
+    path: str, geo: GridGeoTable, data_col=None, as_6d: bool = False
+) -> DynaData:
+    """.gridod file -> (T, G, G, F) or (T, lr, lc, lr, lc, F) when as_6d
+    (ref :433-543). Rows: origin-grid-major, destination-grid, time."""
+    df = pd.read_csv(path)
+    key_cols = ["time", "origin_row_id", "origin_column_id",
+                "destination_row_id", "destination_column_id"]
+    df = _select_columns(df, data_col, key_cols)
+    n = geo.num_nodes
+    len_time = df.shape[0] // (n * n)
+    timestamps = _timestamps_from(df["time"][:len_time])
+    feature_cols = [c for c in df.columns if c not in key_cols]
+    values = df[feature_cols].to_numpy(np.float64).reshape(n, n, len_time, len(feature_cols))
+    values = values.transpose(2, 0, 1, 3)  # (T, G, G, F)
+    if as_6d:
+        lr, lc = geo.len_row, geo.len_column
+        values = values.reshape(len_time, lr, lc, lr, lc, len(feature_cols))
+    return DynaData(values=values, timestamps=timestamps)
+
+
+@dataclass
 class ExtData:
     values: np.ndarray            # (len_time_ext, ext_dim)
     timestamps: Optional[np.ndarray]

@@ -93,6 +93,40 @@ def bsr_from_dense(adj: np.ndarray, block: int = 128) -> BSRGraph:
     )
 
 
+def random_spatial_graph(
+    num_nodes: int,
+    avg_degree: int = 16,
+    locality: int = 256,
+    num_hubs: int = 8,
+    hub_fraction: float = 0.05,
+    seed: int = 0,
+    block: int = 128,
+) -> Tuple["BSRGraph", int]:
+    """Spatially-local graph + a few hub nodes (power-law-ish degree).
+
+    Mirrors real geographic graphs: most edges connect nearby node ids
+    (|dst - src| < locality), a small fraction lands on global hub nodes.
+    This keeps BSR tiles dense — the right benchmark shape; a scattered
+    power-law pattern makes 128x128 tiles ~0.04% full and BSR pathological
+    (use ordering/clustering preprocessing for such graphs).
+    """
+    rng = np.random.default_rng(seed)
+    num_edges = num_nodes * avg_degree
+    n_local = int(num_edges * (1 - hub_fraction))
+    src_local = rng.integers(0, num_nodes, n_local)
+    offset = rng.integers(-locality, locality + 1, n_local)
+    dst_local = np.clip(src_local + offset, 0, num_nodes - 1)
+    n_hub = num_edges - n_local
+    src_hub = rng.integers(0, num_nodes, n_hub)
+    hubs = rng.integers(0, num_nodes, num_hubs)
+    dst_hub = hubs[rng.integers(0, num_hubs, n_hub)]
+    src = np.concatenate([src_local, src_hub])
+    dst = np.concatenate([dst_local, dst_hub])
+    w = rng.uniform(0.1, 1.0, num_edges).astype(np.float32)
+    graph = bsr_from_coo(src, dst, w, num_nodes, block)
+    return graph, num_edges
+
+
 def random_powerlaw_graph(
     num_nodes: int, avg_degree: int = 16, seed: int = 0, block: int = 128
 ) -> Tuple[BSRGraph, int]:

@@ -1,6 +1,6 @@
-"""Kernel microbench: SpMM / SDDMM edges-per-second on a power-law graph.
+"""Kernel microbench: SpMM / SDDMM edges-per-second on a spatial power-law graph.
 
-BASELINE.json config 4: ~50k-node power-law graph, single chip. Reports
+BASELINE.json config 4: ~50k-node spatial power-law graph, single chip. Reports
 effective edge throughput (edges = nonzero entries; block-granular compute
 also counts padded zeros — both are printed).
 
@@ -28,8 +28,8 @@ def main():
     feat = int(sys.argv[3]) if len(sys.argv) > 3 else 128
     d_adj = 128
 
-    print("building power-law graph N={} deg={} ...".format(num_nodes, avg_degree), file=sys.stderr)
-    graph, num_edges = bsr.random_powerlaw_graph(num_nodes, avg_degree, seed=0)
+    print("building spatial power-law graph N={} deg={} ...".format(num_nodes, avg_degree), file=sys.stderr)
+    graph, num_edges = bsr.random_spatial_graph(num_nodes, avg_degree, seed=0)
     print(
         "nnz_blocks={} ({:.2f}% of dense), nnz_edges={}".format(
             graph.nnz_blocks,

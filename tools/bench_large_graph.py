@@ -1,6 +1,6 @@
 """End-to-end training-step benchmark of SparseATGCN at 50k-node scale.
 
-BASELINE.json config 4: power-law graph, single chip, full training step
+BASELINE.json config 4: spatial power-law graph, single chip, full training step
 (forward + backward + adam) through the Pallas SpMM/SDDMM path. Reports
 model-level edge throughput: edges aggregated per second =
 nnz_edges x aggregations_per_step / step_seconds.
@@ -31,7 +31,7 @@ def main():
     batch = int(sys.argv[4]) if len(sys.argv) > 4 else 2
 
     print("building graph N={} deg={} ...".format(num_nodes, avg_degree), file=sys.stderr)
-    graph, _ = bsr.random_powerlaw_graph(num_nodes, avg_degree, seed=0)
+    graph, _ = bsr.random_spatial_graph(num_nodes, avg_degree, seed=0)
     cfg = {
         "output_window": 3, "output_dim": 1, "rnn_units": 64, "num_layers": 2,
         "embed_dim_adj": 128, "adpadj": "unidirection", "node_conditioned": "off",
