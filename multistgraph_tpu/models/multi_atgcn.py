@@ -318,6 +318,11 @@ class MultiATGCN(nn.Module):
 
                 _, states = jax.lax.scan(step, state0, (res_gate_x, res_upd_x, w_seq))
             current = states  # (T, B, N, H)
+            self.sow(
+                "intermediates",
+                "encoder_layer_{}".format(layer_idx),
+                jnp.transpose(current, (1, 0, 2, 3)),
+            )
 
         return jnp.transpose(current, (1, 0, 2, 3))  # (B, T, N, H)
 
@@ -368,6 +373,9 @@ class MultiATGCN(nn.Module):
             parts.append(x[:, : self.input_window, :, self.end_dim + self.time_index_dim :])
         enc_in = jnp.concatenate(parts, axis=-1) if len(parts) > 1 else fused
 
+        self.sow("intermediates", "fused_temporal", fused)
+        self.sow("intermediates", "encoder_input", enc_in)
+
         # Initial hidden state: zeros, or static-conditioned (ref :404-409).
         batch = source.shape[0]
         if self.static_proj is not None:
@@ -382,7 +390,9 @@ class MultiATGCN(nn.Module):
             init_state = jnp.zeros((self.num_layers, batch, self.num_nodes, self.hidden_dim))
 
         supports = self._build_supports()
+        self.sow("intermediates", "supports", supports)
         states = self._encoder(enc_in, init_state, supports)  # (B, T, N, H)
+        self.sow("intermediates", "encoder_output", states)
 
         if self.fnn_off:
             states = states[:, -1:]

@@ -315,3 +315,50 @@ def test_forward_parity_with_reference(adjtype, adpadj, with_static):
         theirs = torch_model({"X": torch.tensor(np.asarray(x))}).numpy()
 
     np.testing.assert_allclose(ours, theirs, atol=2e-4, rtol=1e-3)
+
+
+@pytest.mark.skipif(not _torch_reference_available(), reason="reference/torch unavailable")
+def test_per_layer_activation_parity():
+    """BASELINE target: per-layer activation allclose vs the reference."""
+    import torch
+
+    sys.path.insert(0, REFERENCE_PATH)
+    try:
+        from libcity.model.traffic_flow_prediction.MultiATGCN import MultiATGCN as TorchModel
+    finally:
+        sys.path.pop(0)
+
+    feature = _data_feature(seed=11)
+    cfg = _config(adjtype="multi", adpadj="bidirection")
+    model = build_multi_atgcn(cfg, feature)
+    x = _input(seed=13)
+    params = _init(model, x)
+    _, state = model.apply(params, x, train=False, mutable=["intermediates"])
+    inter = state["intermediates"]
+
+    torch_cfg = dict(cfg)
+    torch_cfg["device"] = torch.device("cpu")
+    torch_model = TorchModel(torch_cfg, dict(feature))
+    torch_model.load_state_dict(_to_torch_state_dict(params, model, torch_model))
+    torch_model.eval()
+
+    captured = {}
+
+    def hook(module, inputs, output):
+        captured["encoder_input"] = inputs[0].detach().numpy()
+        captured["encoder_output"] = output[0].detach().numpy()
+
+    torch_model.encoder.register_forward_hook(hook)
+    with torch.no_grad():
+        torch_model({"X": torch.tensor(np.asarray(x))})
+
+    np.testing.assert_allclose(
+        np.asarray(inter["encoder_input"][0]), captured["encoder_input"], atol=1e-5, rtol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(inter["encoder_output"][0]), captured["encoder_output"], atol=2e-4, rtol=1e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(inter["encoder_layer_1"][0]), captured["encoder_output"], atol=2e-4, rtol=1e-3
+    )
+    assert "encoder_layer_0" in inter and "supports" in inter and "fused_temporal" in inter
