@@ -273,9 +273,15 @@ class MultiATGCN(nn.Module):
             res_gate_k, res_gate_b = cell["res_gate"]["kernel"], cell["res_gate"]["bias"]
             res_upd_k, res_upd_b = cell["res_update"]["kernel"], cell["res_update"]["bias"]
             dim_in = current.shape[-1]
-            # Hoist the x-only part of the residual dense transforms over all T.
-            res_gate_x = jnp.einsum("tbnc,cd->tbnd", current, res_gate_k[:dim_in])
-            res_upd_x = jnp.einsum("tbnc,cd->tbnd", current, res_upd_k[:dim_in])
+            h = self.hidden_dim
+            # Hoist the x-only part of the residual dense transforms over all
+            # T, fused across gate+update into one (C -> 3H) matmul.
+            res_x = jnp.einsum(
+                "tbnc,cd->tbnd",
+                current,
+                jnp.concatenate([res_gate_k[:dim_in], res_upd_k[:dim_in]], axis=1),
+            )
+            res_gate_x, res_upd_x = res_x[..., : 2 * h], res_x[..., 2 * h :]
             res_gate_h = res_gate_k[dim_in:]
             res_upd_h = res_upd_k[dim_in:]
 
@@ -283,10 +289,11 @@ class MultiATGCN(nn.Module):
                 wg_x, wg_h, bg = self._cell_weights(cell["gate"])
                 wu_x, wu_h, bu = self._cell_weights(cell["update"])
                 # Hoist the graph aggregation of the input sequence: shared by
-                # the gate and candidate AGCNs at every step.
+                # the gate and candidate AGCNs at every step; the two weight
+                # contractions fuse into one (I -> 3H) einsum.
                 hx = jnp.einsum("knm,tbmc->tbknc", supports, current)
-                gate_x = jnp.einsum("tbkni,nkio->tbno", hx, wg_x)
-                upd_x = jnp.einsum("tbkni,nkio->tbno", hx, wu_x)
+                xw = jnp.einsum("tbkni,nkio->tbno", hx, jnp.concatenate([wg_x, wu_x], axis=3))
+                gate_x, upd_x = xw[..., : 2 * h], xw[..., 2 * h :]
 
                 def step(h, inputs):
                     gate_x_t, upd_x_t, rg_x_t, ru_x_t, w_t = inputs
