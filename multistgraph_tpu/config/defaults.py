@@ -18,10 +18,16 @@ TASK_CONFIG = {
     "traffic_state_pred": {
         "allowed_model": [
             "MultiATGCN",
+            "SparseATGCN",
         ],
         "models": {
             "MultiATGCN": {
                 "dataset_class": "MTHDataset",
+                "executor": "TrafficStateExecutor",
+                "evaluator": "TrafficStateEvaluator",
+            },
+            "SparseATGCN": {
+                "dataset_class": "SyntheticLargeGraphDataset",
                 "executor": "TrafficStateExecutor",
                 "evaluator": "TrafficStateEvaluator",
             },
@@ -31,6 +37,22 @@ TASK_CONFIG = {
 
 # Per-model hyperparameter defaults, keyed "<task>/<model>".
 MODEL_DEFAULTS = {
+    "traffic_state_pred/SparseATGCN": {
+        "rnn_units": 64,
+        "num_layers": 2,
+        "embed_dim_adj": 16,
+        "embed_dim_node": 8,
+        "adpadj": "unidirection",
+        "node_conditioned": "off",
+        "remat": True,
+        "batch_size": 2,
+        "scaler": "standard",
+        "learner": "adam",
+        "learning_rate": 0.003,
+        "clip_grad_norm": True,
+        "max_grad_norm": 5,
+        "groupstd": False,
+    },
     "traffic_state_pred/MultiATGCN": {
         "embed_dim_node": 20,
         "embed_dim_adj": 20,
@@ -61,6 +83,18 @@ MODEL_DEFAULTS = {
 
 # Per-dataset-class defaults, keyed by dataset_class name.
 DATA_DEFAULTS = {
+    "SyntheticLargeGraphDataset": {
+        "num_nodes": 4096,
+        "avg_degree": 16,
+        "len_time": 240,
+        "batch_size": 2,
+        "pad_with_last_sample": True,
+        "train_rate": 0.7,
+        "eval_rate": 0.15,
+        "scaler": "standard",
+        "input_window": 12,
+        "output_window": 3,
+    },
     "MTHDataset": {
         "batch_size": 64,
         "cache_dataset": True,

@@ -287,10 +287,17 @@ class MTHDataset(TrafficStatePointDataset):
         return feature
 
 
+def _large_graph_dataset(config):
+    from multistgraph_tpu.data.large_graph import SyntheticLargeGraphDataset
+
+    return SyntheticLargeGraphDataset(config)
+
+
 DATASET_REGISTRY = {
     "TrafficStateDataset": TrafficStateDataset,
     "TrafficStatePointDataset": TrafficStatePointDataset,
     "MTHDataset": MTHDataset,
+    "SyntheticLargeGraphDataset": _large_graph_dataset,
 }
 
 

@@ -59,6 +59,15 @@ class SparseATGCN(nn.Module):
     def num_supports(self) -> int:
         return 1 + len(self.supports) + (1 if self.adaptive_pattern is not None else 0)
 
+    # target-channel slicing bounds, for executor loss-fn compatibility
+    @property
+    def start_dim(self) -> int:
+        return 0
+
+    @property
+    def end_dim(self) -> int:
+        return self.output_dim
+
     def setup(self):
         n, h = self.num_nodes, self.hidden_dim
         ks = self.num_supports
@@ -177,6 +186,12 @@ class SparseATGCN(nn.Module):
         out = last @ self._end_kernel + self._end_bias[0]  # (N, B, Tout*out)
         out = out.reshape(n, b, self.output_window, self.output_dim)
         return jnp.transpose(out, (1, 2, 0, 3))
+
+
+def build_sparse_atgcn_from_feature(config, data_feature) -> SparseATGCN:
+    """Registry-compatible builder: graph arrives via data_feature['bsr_graph']."""
+    graph = data_feature["bsr_graph"]
+    return build_sparse_atgcn(graph, config, interpret=config.get("pallas_interpret", False))
 
 
 def build_sparse_atgcn(graph, config, interpret: bool = False) -> SparseATGCN:

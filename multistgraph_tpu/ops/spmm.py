@@ -110,7 +110,8 @@ def _sampled_matmul_impl(a, b, row_of, col_of, block: int, interpret: bool):
 
 def bsr_transpose(values, row_of, col_of, n_blocks: int):
     """Block-transpose: swap row/col, transpose tiles, re-sort row-major."""
-    key = col_of.astype(jnp.int64) * n_blocks + row_of
+    # int32 is ample: n_blocks^2 < 2^31 up to ~5.9M padded nodes
+    key = col_of.astype(jnp.int32) * n_blocks + row_of
     perm = jnp.argsort(key)
     return (
         jnp.transpose(values[perm], (0, 2, 1)),
