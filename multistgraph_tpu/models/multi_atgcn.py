@@ -336,10 +336,17 @@ class MultiATGCN(nn.Module):
     # ---------------------------------------------------------------- forward
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         source = x[:, :, :, self.start_dim : self.end_dim]
-        total_len = self.len_closeness + self.len_period + self.len_trend
+        # With use_3tu=False the dataset truncates X to input_window steps;
+        # only the closeness heads are then reachable, which the reference
+        # tolerates exactly when horizon gating skips period/trend (Tout < 6).
+        total_len = (
+            self.len_closeness + self.len_period + self.len_trend
+            if self.output_window >= 6
+            else self.len_closeness
+        )
         if source.shape[1] < total_len:
             raise ValueError(
-                "input has {} steps but len_closeness+len_period+len_trend={}".format(
+                "input has {} steps but the active temporal heads need {}".format(
                     source.shape[1], total_len
                 )
             )
