@@ -244,7 +244,14 @@ class TrafficStateExecutor:
         with open(self._metrics_log, "a") as f:
             f.write("epoch,train_loss,val_loss,lr,seconds\n")
 
+        # Optional jax.profiler capture of one full epoch (SURVEY §5.1: the
+        # reference only wall-clocks phases; trace capture is first-class here).
+        profile_dir = self.config.get("profile_dir", None)
+        profile_epoch = self.config.get("profile_epoch", 1)
+
         for epoch_idx in range(self._epoch_num, self.epochs):
+            if profile_dir is not None and epoch_idx == profile_epoch:
+                jax.profiler.start_trace(profile_dir)
             start_time = time.time()
             lr = (
                 self.lr_scheduler.lr_for_epoch(epoch_idx)
@@ -276,6 +283,10 @@ class TrafficStateExecutor:
             val_loss = self._valid_epoch(eval_dataloader)
             end_time = time.time()
             eval_time.append(end_time - t2)
+
+            if profile_dir is not None and epoch_idx == profile_epoch:
+                jax.profiler.stop_trace()
+                self._logger.info("profiler trace for epoch %d written to %s", epoch_idx, profile_dir)
 
             if self.lr_scheduler is not None:
                 self.lr_scheduler.step_plateau(val_loss)

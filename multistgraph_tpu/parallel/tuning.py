@@ -91,6 +91,95 @@ def sample_configurations(
     raise SearchSpaceError("mode must be 'grid' or 'random'")
 
 
+class TPESampler:
+    """Tree-structured Parzen Estimator (hyperopt's 'tpe' capability).
+
+    Observed trials are split at the gamma-quantile of the objective; the
+    next candidate maximizes l(x)/g(x) where l/g are KDEs (continuous) or
+    smoothed frequency ratios (categorical) of the good/bad groups.
+    """
+
+    def __init__(self, space: Dict[str, Dict], seed: int = 0, gamma: float = 0.25,
+                 n_candidates: int = 24):
+        self.space = space
+        self.rng = np.random.default_rng(seed)
+        self.gamma = gamma
+        self.n_candidates = n_candidates
+        self.history: List[Dict[str, Any]] = []
+        self.losses: List[float] = []
+
+    def observe(self, params: Dict[str, Any], loss: float) -> None:
+        self.history.append(params)
+        self.losses.append(loss)
+
+    def _draw(self, spec):
+        kind = spec["type"]
+        if kind == "uniform":
+            return float(self.rng.uniform(spec["lower"], spec["upper"]))
+        if kind == "randn":
+            return float(self.rng.normal(spec["mean"], spec["sd"]))
+        if kind == "randint":
+            return int(self.rng.integers(spec["lower"], spec["upper"]))
+        return spec["list"][int(self.rng.integers(len(spec["list"])))]
+
+    def suggest(self) -> Dict[str, Any]:
+        if len(self.losses) < 4:
+            return {k: self._draw(s) for k, s in self.space.items()}
+        order = np.argsort(self.losses)
+        n_good = max(1, int(np.ceil(self.gamma * len(order))))
+        good_idx, bad_idx = order[:n_good], order[n_good:]
+        out = {}
+        for name, spec in self.space.items():
+            kind = spec["type"]
+            if kind in ("choice", "grid_search"):
+                values = spec["list"]
+                good_counts = np.array(
+                    [1.0 + sum(self.history[i][name] == v for i in good_idx) for v in values]
+                )
+                bad_counts = np.array(
+                    [1.0 + sum(self.history[i][name] == v for i in bad_idx) for v in values]
+                )
+                ratio = (good_counts / good_counts.sum()) / (bad_counts / bad_counts.sum())
+                out[name] = values[int(np.argmax(ratio))]
+            elif kind == "randint":
+                good = np.array([self.history[i][name] for i in good_idx], dtype=float)
+                cand = np.clip(
+                    np.round(self.rng.normal(good.mean(), good.std() + 1.0, self.n_candidates)),
+                    spec["lower"], spec["upper"] - 1,
+                ).astype(int)
+                out[name] = int(cand[0])
+            else:
+                good = np.array([self.history[i][name] for i in good_idx], dtype=float)
+                bad = np.array([self.history[i][name] for i in bad_idx], dtype=float)
+                if kind == "uniform":
+                    span = spec["upper"] - spec["lower"]
+                else:
+                    span = spec["sd"]
+                # Exploit the good-group KDE but keep exploring: widen the
+                # bandwidth by a prior term and mix in prior draws (hyperopt
+                # mixes the prior into l(x) the same way).
+                bw = good.std() + 0.1 * span
+                n_prior = max(1, self.n_candidates // 4)
+                cands = np.concatenate([
+                    self.rng.normal(
+                        good[self.rng.integers(len(good), size=self.n_candidates - n_prior)], bw
+                    ),
+                    np.array([self._draw(spec) for _ in range(n_prior)], dtype=float),
+                ])
+                if kind == "uniform":
+                    cands = np.clip(cands, spec["lower"], spec["upper"])
+
+                def kde(pts, x):
+                    h = pts.std() + 1e-6
+                    return np.exp(-0.5 * ((x[:, None] - pts[None, :]) / h) ** 2).sum(axis=1) / (
+                        len(pts) * h
+                    )
+
+                score = kde(good, cands) / (kde(bad, cands) + 1e-12)
+                out[name] = float(cands[int(np.argmax(score))])
+        return out
+
+
 @dataclass
 class TrialResult:
     trial_id: int
@@ -150,6 +239,24 @@ def hyper_parameter(
 ) -> List[TrialResult]:
     """Run the search; returns trial results sorted best-first."""
     parsed = parse_search_space(space)
+    if mode == "tpe":
+        # Sequential model-based search (hyperopt-TPE capability): each next
+        # trial is proposed from the good/bad density ratio of past trials.
+        sampler = TPESampler(parsed, seed=seed)
+        results = {}
+        for i in range(num_samples):
+            params = sampler.suggest()
+            _tid, best, history = _run_trial(
+                (i, task, model_name, dataset_name, config_file, base_args,
+                 params, max_epoch, 0)
+            )
+            sampler.observe(params, best)
+            results[i] = TrialResult(
+                trial_id=i, params=params, val_loss=float(best),
+                epochs_run=max_epoch, history=history,
+            )
+        return sorted(results.values(), key=lambda r: r.val_loss)
+
     configs = sample_configurations(parsed, mode, num_samples, seed)
     results = {
         i: TrialResult(trial_id=i, params=cfg, val_loss=float("inf"), epochs_run=0)

@@ -49,6 +49,29 @@ def test_random_sampling_count():
     assert len({c["lr"] for c in configs}) == 5
 
 
+def test_tpe_sampler_prefers_good_region():
+    from multistgraph_tpu.parallel.tuning import TPESampler
+
+    space = parse_search_space(
+        {
+            "lr": {"type": "uniform", "lower": 0.0, "upper": 1.0},
+            "opt": {"type": "choice", "list": ["a", "b"]},
+        }
+    )
+    s = TPESampler(space, seed=0)
+    # objective: minimized near lr=0.2 with opt='a'
+    rng = np.random.default_rng(1)
+    for _ in range(30):
+        params = s.suggest()
+        loss = (params["lr"] - 0.2) ** 2 + (0.0 if params["opt"] == "a" else 0.5)
+        loss += 0.01 * rng.normal()
+        s.observe(params, loss)
+    final = [s.suggest() for _ in range(10)]
+    lrs = np.array([f["lr"] for f in final])
+    assert abs(np.median(lrs) - 0.2) < 0.15
+    assert sum(f["opt"] == "a" for f in final) >= 8
+
+
 @pytest.fixture(scope="module")
 def tune_env(tmp_path_factory):
     from multistgraph_tpu.data.synthetic import make_synthetic_dataset
@@ -81,6 +104,17 @@ def test_fifo_search(tune_env):
     assert results[0].val_loss <= results[1].val_loss
     assert all(r.epochs_run == 2 for r in results)
     assert all(len(r.history) == 2 for r in results)  # report_hook fired per epoch
+
+
+def test_tpe_mode_end_to_end(tune_env):
+    results = hyper_parameter(
+        "traffic_state_pred", "MultiATGCN", "SYN_TUNE",
+        space={"learning_rate": {"type": "uniform", "lower": 1e-4, "upper": 1e-2}},
+        mode="tpe", num_samples=5, max_epoch=1, base_args=tune_env,
+    )
+    assert len(results) == 5
+    assert all(np.isfinite(r.val_loss) for r in results)
+    assert results[0].val_loss <= results[-1].val_loss
 
 
 def test_asha_promotes_best(tune_env):
