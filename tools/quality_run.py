@@ -41,28 +41,39 @@ def masked_metrics(pred, true):
     )
 
 
+SHAPES = {
+    # README.md:44-53 dataset statistics for DC and Baltimore
+    "dc": dict(name="SYN_DC237", num_nodes=237, node_mean=30.169, node_std=84.023,
+               output_window=24),
+    "bm": dict(name="SYN_BM403", num_nodes=403, node_mean=14.41, node_std=29.3,
+               output_window=12),
+}
+
+
 def main():
+    shape = SHAPES[sys.argv[1] if len(sys.argv) > 1 else "dc"]
+    max_epoch = int(sys.argv[2]) if len(sys.argv) > 2 else 30
     bench_root = os.path.join(ROOT, "outputs", "bench")
     raw_dir = os.path.join(bench_root, "raw_data")
-    ds_name = "SYN_DC237"
+    ds_name = shape["name"]
     if not os.path.exists(os.path.join(raw_dir, ds_name, "config.json")):
         make_synthetic_dataset(
-            raw_dir, ds_name, num_nodes=237, len_time=24 * 151,
-            node_mean=30.169, node_std=84.023, seed=42,
+            raw_dir, ds_name, num_nodes=shape["num_nodes"], len_time=24 * 151,
+            node_mean=shape["node_mean"], node_std=shape["node_std"], seed=42,
         )
     args = {
         "data_dir": raw_dir,
         "cache_dir": os.path.join(bench_root, "dataset_cache"),
         "output_dir": os.path.join(bench_root, "outputs"),
-        "exp_id": "quality",
-        "input_window": 24, "output_window": 24,
+        "exp_id": "quality_" + ds_name,
+        "input_window": 24, "output_window": shape["output_window"],
         "len_closeness": 2, "len_period": 1, "len_trend": 1,
         "interval_period": 7, "interval_trend": 28,
         "load_external": True, "load_dynamic": False, "add_time_in_day": True,
         "groupstd": True, "add_static": True,
         "adjtype": "multi", "adpadj": "bidirection",
         "batch_size": 16, "train_rate": 0.7, "eval_rate": 0.15,
-        "max_epoch": 30, "use_early_stop": True, "patience": 6,
+        "max_epoch": max_epoch, "use_early_stop": True, "patience": 6,
         "seed": 0,
     }
     config = load_config("traffic_state_pred", "MultiATGCN", ds_name, other_args=args)
@@ -86,15 +97,16 @@ def main():
     x_test = np.asarray(jnp.take(test_loader.x, perm.reshape(-1), axis=0))
     y_test = np.asarray(jnp.take(test_loader.y, perm.reshape(-1), axis=0))
     scaler = feature["scaler"]
-    truth = scaler.inverse_transform(y_test[:, :24, :, 0:1])
+    tout = shape["output_window"]
+    truth = scaler.inverse_transform(y_test[:, :tout, :, 0:1])
     model_pred = scaler.inverse_transform(pred)
 
     len_c = feature["len_closeness"]
     last_step = scaler.inverse_transform(x_test[:, len_c - 1 : len_c, :, 0:1])
     persistence = np.broadcast_to(last_step, truth.shape)
-    seasonal = scaler.inverse_transform(x_test[:, len_c - 24 : len_c, :, 0:1])
+    seasonal = scaler.inverse_transform(x_test[:, len_c - 24 : len_c - 24 + tout, :, 0:1])
 
-    horizons = [3, 6, 12, 24]
+    horizons = [h for h in (3, 6, 12, 24) if h <= tout]
     rows = []
     for h in horizons:
         row = {"horizon": h}
@@ -104,7 +116,7 @@ def main():
         rows.append(row)
 
     lines = [
-        "# RESULTS — full-protocol quality run (synthetic DC-237)",
+        "# RESULTS — full-protocol quality run ({})".format(ds_name),
         "",
         "Protocol: reference training recipe (Adam 3e-3, multistep x0.75 @ {5,10,20,30},",
         "clip 5, batch 16, <=30 epochs, early stop patience 6), full multi-view graph +",
@@ -126,7 +138,7 @@ def main():
             )
         )
     os.makedirs(os.path.join(ROOT, "docs"), exist_ok=True)
-    out = os.path.join(ROOT, "docs", "RESULTS.md")
+    out = os.path.join(ROOT, "docs", "RESULTS_{}.md".format(ds_name))
     with open(out, "w") as f:
         f.write("\n".join(lines) + "\n")
     print("\n".join(lines))
