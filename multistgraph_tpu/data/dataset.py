@@ -15,7 +15,7 @@ Behavioral parity notes:
 """
 
 import os
-from typing import Dict, Optional, Tuple
+from typing import Dict, Tuple
 
 import numpy as np
 import pandas as pd

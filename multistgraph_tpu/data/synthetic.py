@@ -11,8 +11,6 @@ in the exact atomic-file schemas the loaders consume
 
 import json
 import os
-from typing import Optional
-
 import numpy as np
 import pandas as pd
 

@@ -32,7 +32,6 @@ from multistgraph_tpu.evaluator.evaluator import get_evaluator
 from multistgraph_tpu.executor.optimizers import (
     build_lr_scheduler,
     build_optimizer,
-    get_learning_rate,
     set_learning_rate,
 )
 from multistgraph_tpu.models.multi_atgcn import make_loss_fn

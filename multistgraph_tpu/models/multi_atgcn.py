@@ -32,8 +32,7 @@ default here, with the SVD/PCA recipe available via config ``svd_init=True``
 (see models/initializers.py).
 """
 
-from dataclasses import field
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Tuple
 
 import flax.linen as nn
 import jax
@@ -251,13 +250,6 @@ class MultiATGCN(nn.Module):
         bias = self._node_emb @ cell_params["bias_pool"]  # (N, out)
         dim_in = w.shape[2] - self.hidden_dim
         return w[:, :, :dim_in], w[:, :, dim_in:], bias
-
-    @staticmethod
-    def _gru_mix(z_r, state, candidate_fn):
-        h = state
-        z, r = jnp.split(z_r, 2, axis=-1)
-        hc = candidate_fn(z)
-        return r * h + (1.0 - r) * hc
 
     def _encoder(self, x: jnp.ndarray, init_state: jnp.ndarray, supports: jnp.ndarray) -> jnp.ndarray:
         """x: (B, T, N, C) -> stacked per-step states of the last layer (B, T, N, H)."""

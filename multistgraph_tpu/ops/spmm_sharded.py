@@ -19,7 +19,6 @@ already computes per-shard column footprints for it.
 """
 
 from dataclasses import dataclass
-from functools import partial
 from typing import List
 
 import jax
