@@ -19,6 +19,11 @@ TASK_CONFIG = {
         "allowed_model": [
             "MultiATGCN",
             "SparseATGCN",
+            "RNN",
+            "LSTM",
+            "GRU",
+            "FNN",
+            "Seq2Seq",
         ],
         "models": {
             "MultiATGCN": {
@@ -28,6 +33,33 @@ TASK_CONFIG = {
             },
             "SparseATGCN": {
                 "dataset_class": "SyntheticLargeGraphDataset",
+                "executor": "TrafficStateExecutor",
+                "evaluator": "TrafficStateEvaluator",
+            },
+            # Baseline comparison set (LSTM/GRU alias to RNN via rnn_type,
+            # ref: libcity/config/config_parser.py:91-93)
+            "RNN": {
+                "dataset_class": "TrafficStatePointDataset",
+                "executor": "TrafficStateExecutor",
+                "evaluator": "TrafficStateEvaluator",
+            },
+            "LSTM": {
+                "dataset_class": "TrafficStatePointDataset",
+                "executor": "TrafficStateExecutor",
+                "evaluator": "TrafficStateEvaluator",
+            },
+            "GRU": {
+                "dataset_class": "TrafficStatePointDataset",
+                "executor": "TrafficStateExecutor",
+                "evaluator": "TrafficStateEvaluator",
+            },
+            "FNN": {
+                "dataset_class": "TrafficStatePointDataset",
+                "executor": "TrafficStateExecutor",
+                "evaluator": "TrafficStateEvaluator",
+            },
+            "Seq2Seq": {
+                "dataset_class": "TrafficStatePointDataset",
                 "executor": "TrafficStateExecutor",
                 "evaluator": "TrafficStateEvaluator",
             },
@@ -80,6 +112,29 @@ MODEL_DEFAULTS = {
         "max_grad_norm": 5,
     },
 }
+
+MODEL_DEFAULTS.update(
+    {
+        "traffic_state_pred/RNN": {
+            "rnn_units": 64, "num_layers": 1, "rnn_type": "GRU",
+            "use_3tu": False, "batch_size": 16, "scaler": "standard",
+            "ext_scaler": "none", "learner": "adam", "learning_rate": 0.003,
+            "clip_grad_norm": True, "max_grad_norm": 5,
+        },
+        "traffic_state_pred/FNN": {
+            "rnn_units": 64, "num_layers": 2,
+            "use_3tu": False, "batch_size": 16, "scaler": "standard",
+            "ext_scaler": "none", "learner": "adam", "learning_rate": 0.003,
+            "clip_grad_norm": True, "max_grad_norm": 5,
+        },
+        "traffic_state_pred/Seq2Seq": {
+            "rnn_units": 64,
+            "use_3tu": False, "batch_size": 16, "scaler": "standard",
+            "ext_scaler": "none", "learner": "adam", "learning_rate": 0.003,
+            "clip_grad_norm": True, "max_grad_norm": 5,
+        },
+    }
+)
 
 # Per-dataset-class defaults, keyed by dataset_class name.
 DATA_DEFAULTS = {

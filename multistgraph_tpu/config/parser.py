@@ -117,6 +117,11 @@ def load_config(
     bindings = task_config["models"][model]
     for key in ("dataset_class", "executor", "evaluator"):
         config.setdefault(key, bindings[key])
+    # LSTM/GRU/RNN share one model class differing by rnn_type
+    # (ref: libcity/config/config_parser.py:90-93).
+    if config["model"].upper() in ("LSTM", "GRU", "RNN"):
+        config.setdefault("rnn_type", config["model"])
+        config["model"] = "RNN"
 
     # Per-module defaults: model, data, executor, evaluator (in that order).
     model_key = "{}/{}".format(task, config["model"])

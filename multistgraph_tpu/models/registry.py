@@ -7,12 +7,16 @@ here it's an explicit registry of builder functions
 
 from typing import Callable, Dict
 
+from multistgraph_tpu.models.baselines import build_fnn, build_rnn, build_seq2seq
 from multistgraph_tpu.models.multi_atgcn import build_multi_atgcn
 from multistgraph_tpu.models.sparse_atgcn import build_sparse_atgcn_from_feature
 
 MODEL_REGISTRY: Dict[str, Callable] = {
     "MultiATGCN": build_multi_atgcn,
     "SparseATGCN": build_sparse_atgcn_from_feature,
+    "RNN": build_rnn,
+    "FNN": build_fnn,
+    "Seq2Seq": build_seq2seq,
 }
 
 
