@@ -254,6 +254,7 @@ class MTHDataset(TrafficStatePointDataset):
         self.interval_period = config.get("interval_period", 1)
         self.interval_trend = config.get("interval_trend", 7)
         self.hour_each_day = config.get("hour_each_day", 24)
+        windows.validate_mth_windows(self.input_window, self.output_window)
         self.cache_file_name = os.path.join(
             self.cache_file_folder,
             "mth_{}_{}_{}_{}_{}_{}_{}.npz".format(

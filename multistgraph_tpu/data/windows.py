@@ -83,6 +83,18 @@ def mth_starts(
     return np.arange(earliest, len_time - input_window + 1)
 
 
+def validate_mth_windows(input_window: int, output_window: int) -> None:
+    """The reference's right-edge check uses input_window (mth_dataset.py:47,79),
+    so output_window > input_window would gather past the series end there too
+    — fail fast with a clear message instead."""
+    if output_window > input_window:
+        raise ValueError(
+            "MTH windowing requires output_window ({}) <= input_window ({})".format(
+                output_window, input_window
+            )
+        )
+
+
 def gather_windows(
     series: np.ndarray, starts: np.ndarray, x_offsets: np.ndarray, y_offsets: np.ndarray
 ) -> Tuple[np.ndarray, np.ndarray]:

@@ -158,3 +158,11 @@ def test_use_3tu_false_truncates(synthetic_dataset, tmp_path):
     train, _, _ = ds.get_data()
     batch = next(iter(train))
     assert batch["X"].shape[1] == 24
+
+
+def test_mth_rejects_output_longer_than_input(synthetic_dataset, tmp_path):
+    import pytest as _pytest
+
+    config = _config(synthetic_dataset, tmp_path, output_window=48)
+    with _pytest.raises(ValueError, match="output_window"):
+        get_dataset(config)
