@@ -1,0 +1,93 @@
+"""Serving benchmark: single-batch predict latency + sustained throughput.
+
+Measures the flagship model's inference path on the DC-237 workload:
+  * cold + warm single-batch latency (batch 1 and 16);
+  * sustained throughput with the whole-test-set predict scan.
+
+Usage: python tools/bench_inference.py
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from multistgraph_tpu.config import load_config
+from multistgraph_tpu.data import get_dataset
+from multistgraph_tpu.data.synthetic import make_synthetic_dataset
+from multistgraph_tpu.executor import get_executor
+from multistgraph_tpu.models import get_model
+
+ROOT = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..")
+
+
+def main():
+    bench_root = os.path.join(ROOT, "outputs", "bench")
+    raw_dir = os.path.join(bench_root, "raw_data")
+    if not os.path.exists(os.path.join(raw_dir, "SYN_DC237", "config.json")):
+        make_synthetic_dataset(raw_dir, "SYN_DC237", num_nodes=237, len_time=24 * 151,
+                               node_mean=30.169, node_std=84.023, seed=42)
+    args = {
+        "data_dir": raw_dir, "cache_dir": os.path.join(bench_root, "dataset_cache"),
+        "output_dir": os.path.join(bench_root, "outputs"), "exp_id": "infer",
+        "input_window": 24, "output_window": 24,
+        "len_closeness": 2, "len_period": 1, "len_trend": 1,
+        "interval_period": 7, "interval_trend": 28,
+        "load_external": True, "load_dynamic": False, "add_time_in_day": True,
+        "groupstd": True, "add_static": True,
+        "adjtype": "multi", "adpadj": "bidirection",
+        "batch_size": 16, "train_rate": 0.7, "eval_rate": 0.15,
+        "max_epoch": 0, "saved_model": False, "seed": 0,
+    }
+    config = load_config("traffic_state_pred", "MultiATGCN", "SYN_DC237", other_args=args)
+    dataset = get_dataset(config)
+    _, _, test_loader = dataset.get_data()
+    feature = dataset.get_data_feature()
+    model = get_model(config, feature)
+    executor = get_executor(config, model, feature)
+
+    results = {}
+    for b in (1, 16):
+        x = test_loader.x[:b]
+        t0 = time.time()
+        out = executor._predict_step(executor.params, x)
+        float(jnp.sum(out))
+        results["cold_ms_b{}".format(b)] = round((time.time() - t0) * 1e3, 1)
+        iters = 50
+        t0 = time.time()
+        for _ in range(iters):
+            out = executor._predict_step(executor.params, x)
+        float(jnp.sum(out))
+        warm = (time.time() - t0) / iters
+        results["warm_ms_b{}".format(b)] = round(warm * 1e3, 2)
+        results["samples_per_s_b{}".format(b)] = round(b / warm, 1)
+
+    # sustained: whole test set in one scan program
+    perm = jnp.asarray(test_loader.ordered_permutation())
+    t0 = time.time()
+    pred = executor._predict_scan(executor.params, test_loader.x, perm)
+    float(jnp.sum(pred[0]))
+    results["scan_cold_s"] = round(time.time() - t0, 1)
+    t0 = time.time()
+    pred = executor._predict_scan(executor.params, test_loader.x, perm)
+    float(jnp.sum(pred[0]))
+    sustained = time.time() - t0
+    n_samples = int(perm.size)
+    results["sustained_samples_per_s"] = round(n_samples / sustained, 1)
+
+    print(json.dumps({
+        "metric": "inference_samples_per_second_dc237",
+        "value": results["sustained_samples_per_s"],
+        "unit": "samples/s",
+        "extras": dict(results, device=jax.devices()[0].platform),
+    }))
+
+
+if __name__ == "__main__":
+    main()
