@@ -177,3 +177,53 @@ def test_group_retransform_metrics_shape(pipeline_run):
     ]
     assert len(trans) == 6
     assert np.isfinite(trans["MAE"]).all()
+
+
+@pytest.mark.parametrize("train_loss", ["mae", "masked_mae", "huber", "mse"])
+def test_config_selected_train_loss(synthetic_dataset, tmp_path, train_loss):
+    from multistgraph_tpu.pipeline import run_model
+
+    result = run_model(
+        task="traffic_state_pred", model_name="MultiATGCN", dataset_name="SYN_SMALL",
+        other_args={
+            "data_dir": synthetic_dataset,
+            "cache_dir": str(tmp_path / "cache"),
+            "output_dir": str(tmp_path / "out"),
+            "exp_id": "loss_" + train_loss,
+            "train_loss": train_loss,
+            "max_epoch": 1, "saved_model": False, "load_best_epoch": False,
+            "len_closeness": 1, "len_period": 1, "len_trend": 1,
+            "interval_period": 2, "interval_trend": 4,
+            "input_window": 24, "output_window": 3,
+            "load_external": True, "load_dynamic": False, "add_time_in_day": True,
+            "groupstd": True, "batch_size": 4, "train_rate": 0.7, "eval_rate": 0.15,
+            "rnn_units": 4, "embed_dim_node": 2, "embed_dim_adj": 2,
+            "use_early_stop": False, "seed": 0,
+        },
+    )
+    assert np.isfinite(result["masked_MAE"]).all()
+
+
+def test_average_evaluator_mode_pipeline(synthetic_dataset, tmp_path):
+    from multistgraph_tpu.pipeline import run_model
+
+    result = run_model(
+        task="traffic_state_pred", model_name="MultiATGCN", dataset_name="SYN_SMALL",
+        other_args={
+            "data_dir": synthetic_dataset,
+            "cache_dir": str(tmp_path / "cache"),
+            "output_dir": str(tmp_path / "out_avg"),
+            "exp_id": "avgmode",
+            "evaluator_mode": "average",
+            "max_epoch": 1, "saved_model": False, "load_best_epoch": False,
+            "len_closeness": 1, "len_period": 1, "len_trend": 1,
+            "interval_period": 2, "interval_trend": 4,
+            "input_window": 24, "output_window": 3,
+            "load_external": True, "load_dynamic": False, "add_time_in_day": True,
+            "groupstd": True, "batch_size": 4, "train_rate": 0.7, "eval_rate": 0.15,
+            "rnn_units": 4, "embed_dim_node": 2, "embed_dim_adj": 2,
+            "use_early_stop": False, "seed": 0,
+        },
+    )
+    assert len(result) == 3
+    assert np.isfinite(result["masked_MAE"]).all()
