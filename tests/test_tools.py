@@ -68,3 +68,27 @@ def test_sweep_entry_help():
     )
     assert proc.returncode == 0
     assert "--parameter" in proc.stdout and "--seeds" in proc.stdout
+
+
+def test_timefeatures():
+    from multistgraph_tpu.utils import timefeatures as tf
+
+    ts = tf.parse_time(["2019-01-01T05:00:00Z", "2019-01-06T23:30:00Z"])
+    assert tf.day_of_week(ts).tolist() == [1, 6]  # Tue, Sun
+    assert tf.hour_of_day(ts).tolist() == [5, 23]
+    frac = tf.time_in_day_fraction(ts)
+    assert abs(frac[0] - 5 / 24) < 1e-9
+    codes = tf.encode_time_codes(ts)
+    assert codes.shape == (2, 31)
+    assert codes[0, 1] == 1 and codes[0, 7 + 5] == 1
+
+
+def test_quickstart_notebook_valid():
+    import json
+
+    nb = json.load(open(os.path.join(REPO, "examples", "quickstart.ipynb")))
+    assert nb["nbformat"] == 4
+    srcs = ["".join(c["source"]) for c in nb["cells"] if c["cell_type"] == "code"]
+    assert any("run_model" in s for s in srcs)
+    for s in srcs:
+        compile(s, "<nb>", "exec")  # cells are valid python
