@@ -443,17 +443,39 @@ class TrafficStateExecutor:
         return frame
 
     # ------------------------------------------------------------ checkpoints
+    # Two backends: 'msgpack' (flax bytes, single file, the default) and
+    # 'orbax' (production checkpointing: per-array storage, async-capable,
+    # restores correctly onto sharded trees in multi-host settings).
     def _checkpoint_blob(self, epoch: Optional[int] = None) -> Dict:
         return {"params": self.params, "opt_state": self.opt_state, "epoch": epoch or 0}
+
+    @property
+    def _ckpt_backend(self) -> str:
+        return str(self.config.get("checkpoint_backend", "msgpack")).lower()
 
     def save_model(self, cache_name: str):
         ensure_dir(os.path.dirname(cache_name))
         self._logger.info("Saved model at %s", cache_name)
+        if self._ckpt_backend == "orbax":
+            import orbax.checkpoint as ocp
+
+            path = os.path.abspath(cache_name) + ".orbax"
+            with ocp.StandardCheckpointer() as ckptr:
+                ckptr.save(path, self._checkpoint_blob(), force=True)
+            return
         with open(cache_name, "wb") as f:
             f.write(flax.serialization.to_bytes(self._checkpoint_blob()))
 
     def load_model(self, cache_name: str):
         self._logger.info("Loaded model at %s", cache_name)
+        if self._ckpt_backend == "orbax":
+            import orbax.checkpoint as ocp
+
+            path = os.path.abspath(cache_name) + ".orbax"
+            with ocp.StandardCheckpointer() as ckptr:
+                blob = ckptr.restore(path, self._checkpoint_blob())
+            self.params, self.opt_state = blob["params"], blob["opt_state"]
+            return
         with open(cache_name, "rb") as f:
             blob = flax.serialization.from_bytes(self._checkpoint_blob(), f.read())
         self.params, self.opt_state = blob["params"], blob["opt_state"]

@@ -49,7 +49,8 @@ def run_model(
         output_root, str(exp_id), "model_cache",
         "{}_{}.m".format(model_name, dataset_name),
     )
-    if train or not os.path.exists(model_cache_file):
+    cached = os.path.exists(model_cache_file) or os.path.exists(model_cache_file + ".orbax")
+    if train or not cached:
         executor.train(train_data, valid_data)
         if saved_model:
             ensure_dir(os.path.dirname(model_cache_file))

@@ -227,3 +227,45 @@ def test_average_evaluator_mode_pipeline(synthetic_dataset, tmp_path):
     )
     assert len(result) == 3
     assert np.isfinite(result["masked_MAE"]).all()
+
+
+def test_orbax_checkpoint_roundtrip(synthetic_dataset, tmp_path):
+    import jax
+
+    from multistgraph_tpu.config import load_config
+    from multistgraph_tpu.data import get_dataset
+    from multistgraph_tpu.executor import get_executor
+    from multistgraph_tpu.models import get_model
+
+    args = {
+        "data_dir": synthetic_dataset,
+        "cache_dir": str(tmp_path / "cache"),
+        "output_dir": str(tmp_path / "out"),
+        "exp_id": "orbax",
+        "checkpoint_backend": "orbax",
+        "max_epoch": 1,
+        "len_closeness": 1, "len_period": 1, "len_trend": 1,
+        "interval_period": 2, "interval_trend": 4,
+        "input_window": 24, "output_window": 3,
+        "load_external": True, "load_dynamic": False, "add_time_in_day": True,
+        "groupstd": True, "batch_size": 4, "train_rate": 0.7, "eval_rate": 0.15,
+        "rnn_units": 4, "embed_dim_node": 2, "embed_dim_adj": 2,
+        "use_early_stop": False, "saved_model": False, "load_best_epoch": False,
+        "seed": 0,
+    }
+    config = load_config("traffic_state_pred", "MultiATGCN", "SYN_SMALL", other_args=args)
+    dataset = get_dataset(config)
+    train, val, _ = dataset.get_data()
+    feature = dataset.get_data_feature()
+    ex = get_executor(config, get_model(config, feature), feature)
+    ex.train(train, val)
+    path = str(tmp_path / "model.m")
+    ex.save_model(path)
+    trained = jax.tree_util.tree_map(np.asarray, ex.params)
+
+    ex2 = get_executor(config, get_model(config, feature), feature)
+    ex2.load_model(path)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(trained), jax.tree_util.tree_leaves(ex2.params)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)
