@@ -19,13 +19,17 @@ def make_mesh(
     n_devices: Optional[int] = None,
     axes: Tuple[str, ...] = ("data",),
     shape: Optional[Tuple[int, ...]] = None,
+    devices=None,
 ) -> Mesh:
     """Build a mesh over the first n_devices with the given axis names.
 
     With one axis, shape defaults to (n,). With two axes and no shape, the
-    devices are factored as evenly as possible (e.g. 8 -> (2, 4)).
+    devices are factored as evenly as possible (e.g. 8 -> (2, 4)). Pass an
+    explicit `devices` list to build on a non-default backend (e.g. the
+    virtual CPU mesh while an accelerator is the default platform).
     """
-    devices = jax.devices()
+    if devices is None:
+        devices = jax.devices()
     n = n_devices or len(devices)
     devices = devices[:n]
     if shape is None:
