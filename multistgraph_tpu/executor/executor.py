@@ -178,11 +178,23 @@ class TrafficStateExecutor:
         return loss_fn
 
     # ------------------------------------------------------------- train step
+    def _grad_step(self, params, batch, rng):
+        """Loss + grads w.r.t. the trainable 'params' collection only (other
+        collections, e.g. a sparse model's int32 'graph' arrays, pass through
+        undifferentiated)."""
+        others = {k: v for k, v in params.items() if k != "params"}
+
+        def wrt(trainable):
+            return self.loss_fn({"params": trainable, **others}, batch, rng=rng, train=True)
+
+        return jax.value_and_grad(wrt)(params["params"])
+
     def _train_step_impl(self, params, opt_state, batch, rng, lr):
         set_learning_rate(opt_state, lr)
-        loss, grads = jax.value_and_grad(self.loss_fn)(params, batch, rng=rng, train=True)
-        updates, opt_state = self.optimizer.update(grads["params"], opt_state, params["params"])
-        params = {"params": jax.tree_util.tree_map(lambda p, u: p + u, params["params"], updates)}
+        loss, grads = self._grad_step(params, batch, rng)
+        updates, opt_state = self.optimizer.update(grads, opt_state, params["params"])
+        params = dict(params)
+        params["params"] = jax.tree_util.tree_map(lambda p, u: p + u, params["params"], updates)
         return params, opt_state, loss
 
     def _train_epoch_impl(self, params, opt_state, x, y, perm, epoch_key, lr):
@@ -205,9 +217,10 @@ class TrafficStateExecutor:
                     for k, v in batch.items()
                 }
             rng = jax.random.fold_in(epoch_key, step)
-            loss, grads = jax.value_and_grad(self.loss_fn)(params, batch, rng=rng, train=True)
-            updates, opt_state = self.optimizer.update(grads["params"], opt_state, params["params"])
-            params = {"params": jax.tree_util.tree_map(lambda p, u: p + u, params["params"], updates)}
+            loss, grads = self._grad_step(params, batch, rng)
+            updates, opt_state = self.optimizer.update(grads, opt_state, params["params"])
+            params = dict(params)
+            params["params"] = jax.tree_util.tree_map(lambda p, u: p + u, params["params"], updates)
             return (params, opt_state), loss
 
         steps = jnp.arange(perm.shape[0])

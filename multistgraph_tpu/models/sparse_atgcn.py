@@ -71,7 +71,22 @@ class SparseATGCN(nn.Module):
     def setup(self):
         n, h = self.num_nodes, self.hidden_dim
         ks = self.num_supports
+        # Graph arrays live in a non-trainable 'graph' variable collection so
+        # they enter compiled programs as ARGUMENTS, not embedded constants —
+        # a 50k-node graph's block values are hundreds of MB and constants of
+        # that size blow up HLO serialization (and any compile-service limits).
+        self._support_vars = [
+            tuple(
+                self.variable("graph", "support{}_{}".format(i, part), lambda a=arr: jnp.asarray(a))
+                for part, arr in zip(("values", "row", "col"), support)
+            )
+            for i, support in enumerate(self.supports)
+        ]
         if self.adaptive_pattern is not None:
+            self._adaptive_vars = tuple(
+                self.variable("graph", "adaptive_{}".format(part), lambda a=arr: jnp.asarray(a))
+                for part, arr in zip(("row", "col"), self.adaptive_pattern)
+            )
             self._e1 = self.param("node_vec1", _xavier((n, self.embed_dim_adj)))
             self._e2 = self.param("node_vec2", _xavier((self.embed_dim_adj, n)))
         if self.node_conditioned == "factored":
@@ -103,7 +118,8 @@ class SparseATGCN(nn.Module):
 
     # -------------------------------------------------------------- supports
     def _adaptive_values(self):
-        row_of, col_of = self.adaptive_pattern
+        row_of = jax.lax.stop_gradient(self._adaptive_vars[0].value)
+        col_of = jax.lax.stop_gradient(self._adaptive_vars[1].value)
         scores = sddmm_relu(
             self._e1, self._e2, row_of, col_of, block=self.block, interpret=self.interpret
         )
@@ -113,9 +129,13 @@ class SparseATGCN(nn.Module):
     def _aggregate(self, x_flat, adaptive):
         """x_flat (N_pad, F) -> (K, N_pad, F): identity + each support applied."""
         outs = [x_flat]
-        for values, row_of, col_of in self.supports:
-            outs.append(spmm(values, row_of, col_of, x_flat, block=self.block,
-                             interpret=self.interpret))
+        for values_v, row_v, col_v in self._support_vars:
+            outs.append(spmm(
+                jax.lax.stop_gradient(values_v.value),
+                jax.lax.stop_gradient(row_v.value),
+                jax.lax.stop_gradient(col_v.value),
+                x_flat, block=self.block, interpret=self.interpret,
+            ))
         if adaptive is not None:
             a_vals, a_row, a_col = adaptive
             outs.append(spmm(a_vals, a_row, a_col, x_flat, block=self.block,

@@ -86,12 +86,14 @@ def test_adaptive_path_runs_and_grads(rng):
     params = model.init(jax.random.PRNGKey(0), x, train=False)
     assert "node_vec1" in params["params"]
 
-    def loss(p):
-        return jnp.mean(jnp.square(model.apply(p, x, train=False)))
+    def loss(trainable):
+        return jnp.mean(jnp.square(
+            model.apply({"params": trainable, "graph": params["graph"]}, x, train=False)
+        ))
 
-    val, grads = jax.value_and_grad(loss)(params)
+    val, grads = jax.value_and_grad(loss)(params["params"])
     assert np.isfinite(float(val))
-    g1 = np.abs(np.asarray(grads["params"]["node_vec1"])).sum()
+    g1 = np.abs(np.asarray(grads["node_vec1"])).sum()
     assert g1 > 0  # adaptive embedding receives gradient through SDDMM+softmax+SpMM
 
 

@@ -51,13 +51,16 @@ def main():
 
     @jax.jit
     def step(params, opt_state, x, y):
-        def loss_fn(p):
-            pred = model.apply(p, x, train=False)
+        others = {k: v for k, v in params.items() if k != "params"}
+
+        def loss_fn(trainable):
+            pred = model.apply({"params": trainable, **others}, x, train=False)
             return jnp.mean(jnp.abs(pred - y))
 
-        loss, grads = jax.value_and_grad(loss_fn)(params)
-        updates, opt_state = tx.update(grads["params"], opt_state, params["params"])
-        params = {"params": optax.apply_updates(params["params"], updates)}
+        loss, grads = jax.value_and_grad(loss_fn)(params["params"])
+        updates, opt_state = tx.update(grads, opt_state, params["params"])
+        params = dict(params)
+        params["params"] = optax.apply_updates(params["params"], updates)
         return params, opt_state, loss
 
     t0 = time.time()
