@@ -116,6 +116,9 @@ class TrafficStateExecutor:
         # tiny compiled program per parameter, which is pathological when
         # compiles go through a remote-compile relay (~0.4 s each).
         self.params = jax.jit(lambda k, x: model.init(k, x, train=False))(init_key, dummy)
+        if hasattr(model, "attach_graph"):
+            # sparse models: populate the zero-initialized 'graph' collection
+            self.params = model.attach_graph(self.params)
         num_params = sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(self.params))
         for path, leaf in jax.tree_util.tree_leaves_with_path(self.params):
             self._logger.info("%s\t%s", jax.tree_util.keystr(path), leaf.shape)

@@ -75,16 +75,25 @@ class SparseATGCN(nn.Module):
         # they enter compiled programs as ARGUMENTS, not embedded constants —
         # a 50k-node graph's block values are hundreds of MB and constants of
         # that size blow up HLO serialization (and any compile-service limits).
+        # They are ZERO-initialized (so init programs stay tiny) and must be
+        # populated via attach_graph() after init — the executor does this
+        # automatically; direct users should call init_with_graph().
         self._support_vars = [
             tuple(
-                self.variable("graph", "support{}_{}".format(i, part), lambda a=arr: jnp.asarray(a))
+                self.variable(
+                    "graph", "support{}_{}".format(i, part),
+                    lambda s=arr.shape, d=arr.dtype: jnp.zeros(s, d),
+                )
                 for part, arr in zip(("values", "row", "col"), support)
             )
             for i, support in enumerate(self.supports)
         ]
         if self.adaptive_pattern is not None:
             self._adaptive_vars = tuple(
-                self.variable("graph", "adaptive_{}".format(part), lambda a=arr: jnp.asarray(a))
+                self.variable(
+                    "graph", "adaptive_{}".format(part),
+                    lambda s=arr.shape, d=arr.dtype: jnp.zeros(s, d),
+                )
                 for part, arr in zip(("row", "col"), self.adaptive_pattern)
             )
             self._e1 = self.param("node_vec1", _xavier((n, self.embed_dim_adj)))
@@ -117,6 +126,18 @@ class SparseATGCN(nn.Module):
         self._end_bias = self.param("end_bias", _xavier((1, self.output_window * self.output_dim)))
 
     # -------------------------------------------------------------- supports
+    def attach_graph(self, variables):
+        """Replace the zero-initialized 'graph' collection with the real
+        arrays (device_put once, outside any compiled program)."""
+        graph = dict(variables.get("graph", {}))
+        for i, support in enumerate(self.supports):
+            for part, arr in zip(("values", "row", "col"), support):
+                graph["support{}_{}".format(i, part)] = jnp.asarray(arr)
+        if self.adaptive_pattern is not None:
+            graph["adaptive_row"] = jnp.asarray(self.adaptive_pattern[0])
+            graph["adaptive_col"] = jnp.asarray(self.adaptive_pattern[1])
+        return {**variables, "graph": graph}
+
     def _adaptive_values(self):
         row_of = jax.lax.stop_gradient(self._adaptive_vars[0].value)
         col_of = jax.lax.stop_gradient(self._adaptive_vars[1].value)
@@ -206,6 +227,15 @@ class SparseATGCN(nn.Module):
         out = last @ self._end_kernel + self._end_bias[0]  # (N, B, Tout*out)
         out = out.reshape(n, b, self.output_window, self.output_dim)
         return jnp.transpose(out, (1, 2, 0, 3))
+
+
+def init_with_graph(model: SparseATGCN, rng, x):
+    """jit-init the model and attach the real graph arrays (direct-use helper;
+    the executor performs the same two steps itself)."""
+    import jax as _jax
+
+    variables = _jax.jit(lambda k, xx: model.init(k, xx, train=False))(rng, x)
+    return model.attach_graph(variables)
 
 
 def build_sparse_atgcn_from_feature(config, data_feature) -> SparseATGCN:

@@ -5,7 +5,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from multistgraph_tpu.models.sparse_atgcn import build_sparse_atgcn
+from multistgraph_tpu.models.sparse_atgcn import build_sparse_atgcn, init_with_graph
 from multistgraph_tpu.ops import bsr
 
 BLOCK = 128
@@ -70,7 +70,7 @@ def test_sparse_matches_dense_emulation(rng):
     cfg = _config()
     model = build_sparse_atgcn(graph, cfg, interpret=True)
     x = jnp.asarray(rng.normal(size=(2, 4, N_PAD, 1)).astype(np.float32))
-    params = model.init(jax.random.PRNGKey(0), x, train=False)
+    params = init_with_graph(model, jax.random.PRNGKey(0), x)
     got = np.asarray(model.apply(params, x, train=False))
     pad_dense = np.zeros((N_PAD, N_PAD), np.float32)
     pad_dense[: graph.num_nodes, : graph.num_nodes] = dense
@@ -83,7 +83,7 @@ def test_adaptive_path_runs_and_grads(rng):
     cfg = _config(adpadj="unidirection")
     model = build_sparse_atgcn(graph, cfg, interpret=True)
     x = jnp.asarray(rng.normal(size=(2, 3, N_PAD, 1)).astype(np.float32))
-    params = model.init(jax.random.PRNGKey(0), x, train=False)
+    params = init_with_graph(model, jax.random.PRNGKey(0), x)
     assert "node_vec1" in params["params"]
 
     def loss(trainable):
@@ -102,7 +102,7 @@ def test_factored_node_conditioning(rng):
     cfg = _config(node_conditioned="factored", embed_dim_node=4)
     model = build_sparse_atgcn(graph, cfg, interpret=True)
     x = jnp.asarray(rng.normal(size=(2, 3, N_PAD, 1)).astype(np.float32))
-    params = model.init(jax.random.PRNGKey(0), x, train=False)
+    params = init_with_graph(model, jax.random.PRNGKey(0), x)
     assert params["params"]["l0_gate_pool"].shape[0] == 4  # expert dim leads
     out = model.apply(params, x, train=False)
     assert out.shape == (2, 3, N_PAD, 1)
@@ -113,7 +113,7 @@ def test_remat_matches_plain(rng):
     graph, _ = _graph(rng)
     x = jnp.asarray(rng.normal(size=(1, 3, N_PAD, 1)).astype(np.float32))
     m1 = build_sparse_atgcn(graph, _config(), interpret=True)
-    params = m1.init(jax.random.PRNGKey(0), x, train=False)
+    params = init_with_graph(m1, jax.random.PRNGKey(0), x)
     m2 = build_sparse_atgcn(graph, _config(remat=True), interpret=True)
     o1 = np.asarray(m1.apply(params, x, train=False))
     o2 = np.asarray(m2.apply(params, x, train=False))

@@ -20,7 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from multistgraph_tpu.models.sparse_atgcn import build_sparse_atgcn
+from multistgraph_tpu.models.sparse_atgcn import build_sparse_atgcn, init_with_graph
 from multistgraph_tpu.ops import bsr
 
 
@@ -42,7 +42,7 @@ def main():
     x = jnp.asarray(rng.normal(size=(batch, t_steps, graph.padded_nodes, 1)).astype(np.float32))
     y = jnp.asarray(rng.normal(size=(batch, 3, graph.padded_nodes, 1)).astype(np.float32))
     t0 = time.time()
-    params = jax.jit(lambda k: model.init(k, x, train=False))(jax.random.PRNGKey(0))
+    params = init_with_graph(model, jax.random.PRNGKey(0), x)
     jax.tree_util.tree_map(lambda a: a.block_until_ready(), params)
     print("init {:.1f}s".format(time.time() - t0), file=sys.stderr)
 
