@@ -12,10 +12,10 @@ N>=2 hosts. Design (TPU-first, no NCCL-style hand-rolled comms):
   * shards are padded to a common nnz_blocks count with zero-value blocks so
     the compiled program is identical on every device (SPMD).
 
-The all-gather exchanges the full X once per SpMM; a boundary-set optimized
-exchange (send only rows referenced by remote shards, overlapped with local
-aggregation via async remote DMA) is the planned upgrade — the partitioner
-already computes per-shard column footprints for it.
+The all-gather exchanges the full X once per SpMM — the simplest correct
+program, used as the baseline; ops/spmm_boundary.py implements the
+boundary-set-optimized exchange (send only the column blocks each peer
+references, overlappable with local aggregation).
 """
 
 from dataclasses import dataclass
