@@ -213,11 +213,25 @@ class TrafficStateDataset:
             self.ct_visit_mstd = atomic.load_gbst(os.path.join(self.data_path, self.ext_file + ".gbst"))
         self.coordinate = pd.read_csv(os.path.join(self.data_path, self.ext_file + ".geo"))
 
+        # data_parallel: land every split sharded over the sample axis so the
+        # DP capacity scales with the mesh instead of device 0's HBM (the
+        # in-epoch batch gather then resolves against sharded storage).
+        sharding = None
+        if self.config.get("data_parallel", False):
+            import jax
+
+            if len(jax.devices()) > 1:
+                from multistgraph_tpu.parallel.mesh import make_mesh
+
+                sharding = jax.sharding.NamedSharding(
+                    make_mesh(axes=("data",)), jax.sharding.PartitionSpec("data")
+                )
         loaders = generate_dataloaders(
             (x_train, y_train, x_val, y_val, x_test, y_test),
             self.batch_size,
             pad_with_last_sample=self.pad_with_last_sample,
             seed=self.seed,
+            sharding=sharding,
         )
         self.num_batches = loaders[0].num_batches
         return loaders

@@ -49,6 +49,18 @@ class SyntheticLargeGraphDataset:
         self.num_batches = 0
         self.feature_dim = 1
 
+        # node_parallel: edge-partitioned multi-chip training — splits land
+        # on device pre-sharded over the node axis so no resharding happens
+        # inside the epoch scan (the model runs boundary-exchange SpMM).
+        self.node_mesh = None
+        if config.get("node_parallel", False):
+            import jax
+
+            if len(jax.devices()) > 1:
+                from multistgraph_tpu.parallel.mesh import make_mesh
+
+                self.node_mesh = make_mesh(axes=("node",))
+
     def _series(self) -> np.ndarray:
         rng = np.random.default_rng(self.seed + 1)
         n = self.graph.padded_nodes
@@ -73,9 +85,16 @@ class SyntheticLargeGraphDataset:
         self.feature_dim = x_train.shape[-1]
         self.scaler = fit_scaler(self.scaler_type, x_train[..., :1], y_train[..., :1])
         splits = tuple(self.scaler.transform(a).astype(np.float32) for a in splits)
+        sharding = None
+        if self.node_mesh is not None:
+            import jax
+
+            sharding = jax.sharding.NamedSharding(
+                self.node_mesh, jax.sharding.PartitionSpec(None, None, "node", None)
+            )
         loaders = generate_dataloaders(
             splits, self.batch_size, pad_with_last_sample=self.pad_with_last_sample,
-            seed=self.seed,
+            seed=self.seed, sharding=sharding,
         )
         self.num_batches = loaders[0].num_batches
         self._logger.info(
@@ -88,6 +107,7 @@ class SyntheticLargeGraphDataset:
         return {
             "scaler": self.scaler,
             "bsr_graph": self.graph,
+            "node_mesh": self.node_mesh,
             "num_nodes": self.graph.padded_nodes,
             "feature_dim": self.feature_dim,
             "output_dim": self.output_dim,

@@ -75,6 +75,12 @@ class TrafficStateExecutor:
             ensure_dir(d)
         self._logger = get_logger(name="multistgraph_tpu.executor")
         self._metrics_log = os.path.join(self.summary_dir, "train_metrics.csv")
+        # TensorBoard scalars next to the CSV (ref traffic_state_executor.py:38)
+        self._writer = None
+        if config.get("tensorboard", True):
+            from multistgraph_tpu.utils.tbwriter import SummaryWriter
+
+            self._writer = SummaryWriter(self.summary_dir)
 
         self.epochs = config.get("max_epoch", 100)
         self.train_loss_name = str(config.get("train_loss", "none")).lower()
@@ -314,9 +320,18 @@ class TrafficStateExecutor:
             with open(self._metrics_log, "a") as f:
                 f.write("{},{:.6f},{:.6f},{:.6g},{:.2f}\n".format(
                     epoch_idx, train_loss, val_loss, lr, end_time - start_time))
+            if self._writer is not None:
+                # same tags as the reference (ref :347,447) + the lr schedule
+                self._writer.add_scalar("training loss", train_loss, epoch_idx)
+                self._writer.add_scalar("eval loss", val_loss, epoch_idx)
+                self._writer.add_scalar("learning rate", lr, epoch_idx)
 
             if self.hyper_tune and self.report_hook is not None:
-                self.report_hook(epoch_idx, val_loss, self)
+                # ray-tune-style per-epoch report; a truthy return requests
+                # trial termination (MedianStoppingRule-class schedulers)
+                if self.report_hook(epoch_idx, val_loss, self):
+                    self._logger.warning("Trial stopped by scheduler at epoch: %d", epoch_idx)
+                    break
 
             if val_loss < min_val_loss:
                 wait = 0
@@ -354,35 +369,32 @@ class TrafficStateExecutor:
 
     # ------------------------------------------------------------- evaluation
     def evaluate(self, test_dataloader):
-        """Full-test evaluation + artifacts (ref :252-323)."""
+        """Full-test evaluation + artifacts (ref :252-323).
+
+        Target channels come from the MODEL's own start_dim/end_dim (every
+        registered model exposes them), not from a model-name string switch —
+        so SparseATGCN and future graph models evaluate identically to
+        MultiATGCN (the reference special-cases by name, ref :268-276)."""
         self._logger.info("Start evaluating ...")
-        is_multiatgcn = self.config.get("model") in ("MultiATGCN",)
+        s_dim = getattr(self.model, "start_dim", self.start_dim)
+        e_dim = getattr(self.model, "end_dim", self.end_dim)
+        n_out = e_dim - s_dim
         if hasattr(test_dataloader, "ordered_permutation"):
             perm = jnp.asarray(test_dataloader.ordered_permutation())
             output = self._predict_scan(self.params, test_dataloader.x, perm)
             y_all = jnp.take(test_dataloader.y, jnp.asarray(perm.reshape(-1)), axis=0)
-            if is_multiatgcn:
-                y_true = y_all[:, : self.output_window, :, self.start_dim : self.end_dim]
-                y_pred = output
-            else:
-                y_true = y_all[:, : self.output_window, :, : self.output_dim]
-                y_pred = output[..., : self.output_dim]
+            y_true = y_all[:, : self.output_window, :, s_dim:e_dim]
+            y_pred = output[..., :n_out]
             y_truths = np.asarray(self._scaler.inverse_transform(y_true))
             y_preds = np.asarray(self._scaler.inverse_transform(y_pred))
         else:
             y_truths, y_preds = [], []
             for batch in test_dataloader:
                 output = self._predict_step(self.params, batch["X"])
-                if is_multiatgcn:
-                    y_true = self._scaler.inverse_transform(
-                        batch["y"][:, : self.output_window, :, self.start_dim : self.end_dim]
-                    )
-                    y_pred = self._scaler.inverse_transform(output)
-                else:
-                    y_true = self._scaler.inverse_transform(
-                        batch["y"][:, : self.output_window, :, : self.output_dim]
-                    )
-                    y_pred = self._scaler.inverse_transform(output[..., : self.output_dim])
+                y_true = self._scaler.inverse_transform(
+                    batch["y"][:, : self.output_window, :, s_dim:e_dim]
+                )
+                y_pred = self._scaler.inverse_transform(output[..., :n_out])
                 y_truths.append(np.asarray(y_true))
                 y_preds.append(np.asarray(y_pred))
             y_preds = np.concatenate(y_preds, axis=0)

@@ -27,7 +27,16 @@ import jax
 import jax.numpy as jnp
 
 from multistgraph_tpu.models.initializers import dense_kernel_init, torch_style_init
-from multistgraph_tpu.ops.spmm import sddmm_relu, sparse_row_softmax, spmm
+from multistgraph_tpu.ops.spmm import (
+    sddmm_relu,
+    sparse_row_softmax,
+    sparse_row_softmax_dense_corrected,
+    spmm,
+)
+from multistgraph_tpu.ops.spmm_boundary import (
+    boundary_adaptive_values,
+    boundary_aggregate,
+)
 
 
 def _xavier(shape):
@@ -37,7 +46,19 @@ def _xavier(shape):
 
 
 class SparseATGCN(nn.Module):
-    """Input x: (B, T, N_pad, F) -> (B, Tout, N_pad, output_dim)."""
+    """Input x: (B, T, N_pad, F) -> (B, Tout, N_pad, output_dim).
+
+    Two graph backends:
+      * single-chip: `supports` BSR triples aggregated with ops/spmm.py;
+      * multi-chip (BASELINE.json config 5): `dist_plan` holds a
+        BoundaryShardedBSR — the graph edge-partitioned by destination row
+        over `dist_mesh`'s `dist_axis`; every aggregation becomes ONE
+        boundary all_to_all + local/remote SpMM pair (ops/spmm_boundary.py)
+        under shard_map, with activations node-sharded throughout the scan.
+        Parameter names and shapes are IDENTICAL between backends, so a
+        single-chip checkpoint trains on verified numerics multi-chip
+        (tests/test_sparse_dist.py asserts step-for-step equality).
+    """
 
     num_nodes: int                 # padded to a block multiple
     output_window: int
@@ -47,17 +68,33 @@ class SparseATGCN(nn.Module):
     embed_dim_adj: int
     # static BSR supports: tuple of (values, row_of, col_of) device arrays
     supports: Tuple[Any, ...] = ()
-    # block pattern for the adaptive view (row_of, col_of); None disables it
+    # block pattern for the adaptive view (row_of, col_of); None disables it.
+    # In distributed mode any truthy value enables the adaptive view (the
+    # pattern itself lives in dist_plan).
     adaptive_pattern: Any = None
     node_conditioned: str = "off"  # 'off' | 'factored'
     embed_dim_node: int = 8
     block: int = 128
     remat: bool = False
     interpret: bool = False        # run Pallas kernels in interpreter mode (tests)
+    # adaptive-view row normalization: 'sampled' (softmax over sampled edges
+    # only) or 'dense_corrected' (EXACT reference softmax(relu(E1 E2^T))
+    # semantics incl. absent-edge exp(0) terms, via a rank-1 background —
+    # see ops/spmm.py:sparse_row_softmax_dense_corrected)
+    adaptive_softmax: str = "sampled"
+    # multi-chip edge-partitioned backend:
+    dist_plan: Any = None          # BoundaryShardedBSR, or None (single-chip)
+    dist_mesh: Any = None          # jax.sharding.Mesh with dist_axis
+    dist_axis: str = "node"
+
+    @property
+    def distributed(self) -> bool:
+        return self.dist_plan is not None
 
     @property
     def num_supports(self) -> int:
-        return 1 + len(self.supports) + (1 if self.adaptive_pattern is not None else 0)
+        n_static = 1 if self.distributed else len(self.supports)
+        return 1 + n_static + (1 if self.adaptive_pattern is not None else 0)
 
     # target-channel slicing bounds, for executor loss-fn compatibility
     @property
@@ -78,24 +115,34 @@ class SparseATGCN(nn.Module):
         # They are ZERO-initialized (so init programs stay tiny) and must be
         # populated via attach_graph() after init — the executor does this
         # automatically; direct users should call init_with_graph().
-        self._support_vars = [
-            tuple(
-                self.variable(
-                    "graph", "support{}_{}".format(i, part),
+        if self.distributed:
+            self._bnd_vars = {
+                key: self.variable(
+                    "graph", "bnd_{}".format(key),
                     lambda s=arr.shape, d=arr.dtype: jnp.zeros(s, d),
                 )
-                for part, arr in zip(("values", "row", "col"), support)
-            )
-            for i, support in enumerate(self.supports)
-        ]
+                for key, arr in self.dist_plan.graph_arrays().items()
+            }
+        else:
+            self._support_vars = [
+                tuple(
+                    self.variable(
+                        "graph", "support{}_{}".format(i, part),
+                        lambda s=arr.shape, d=arr.dtype: jnp.zeros(s, d),
+                    )
+                    for part, arr in zip(("values", "row", "col"), support)
+                )
+                for i, support in enumerate(self.supports)
+            ]
         if self.adaptive_pattern is not None:
-            self._adaptive_vars = tuple(
-                self.variable(
-                    "graph", "adaptive_{}".format(part),
-                    lambda s=arr.shape, d=arr.dtype: jnp.zeros(s, d),
+            if not self.distributed:
+                self._adaptive_vars = tuple(
+                    self.variable(
+                        "graph", "adaptive_{}".format(part),
+                        lambda s=arr.shape, d=arr.dtype: jnp.zeros(s, d),
+                    )
+                    for part, arr in zip(("row", "col"), self.adaptive_pattern)
                 )
-                for part, arr in zip(("row", "col"), self.adaptive_pattern)
-            )
             self._e1 = self.param("node_vec1", _xavier((n, self.embed_dim_adj)))
             self._e2 = self.param("node_vec2", _xavier((self.embed_dim_adj, n)))
         if self.node_conditioned == "factored":
@@ -128,8 +175,16 @@ class SparseATGCN(nn.Module):
     # -------------------------------------------------------------- supports
     def attach_graph(self, variables):
         """Replace the zero-initialized 'graph' collection with the real
-        arrays (device_put once, outside any compiled program)."""
+        arrays (device_put once, outside any compiled program; distributed
+        arrays land pre-sharded over the node mesh axis)."""
         graph = dict(variables.get("graph", {}))
+        if self.distributed:
+            sharding = jax.sharding.NamedSharding(
+                self.dist_mesh, jax.sharding.PartitionSpec(self.dist_axis)
+            )
+            for key, arr in self.dist_plan.graph_arrays().items():
+                graph["bnd_" + key] = jax.device_put(jnp.asarray(arr), sharding)
+            return {**variables, "graph": graph}
         for i, support in enumerate(self.supports):
             for part, arr in zip(("values", "row", "col"), support):
                 graph["support{}_{}".format(i, part)] = jnp.asarray(arr)
@@ -138,17 +193,37 @@ class SparseATGCN(nn.Module):
             graph["adaptive_col"] = jnp.asarray(self.adaptive_pattern[1])
         return {**variables, "graph": graph}
 
+    def _bnd_arrays(self):
+        return {key: var.value for key, var in self._bnd_vars.items()}
+
     def _adaptive_values(self):
+        if self.distributed:
+            return boundary_adaptive_values(
+                self._bnd_arrays(), self._e1, self._e2, self.dist_mesh,
+                axis=self.dist_axis, block=self.block, interpret=self.interpret,
+                dense_corrected=self.adaptive_softmax == "dense_corrected",
+                num_nodes=self.num_nodes,
+            )
         row_of = jax.lax.stop_gradient(self._adaptive_vars[0].value)
         col_of = jax.lax.stop_gradient(self._adaptive_vars[1].value)
         scores = sddmm_relu(
             self._e1, self._e2, row_of, col_of, block=self.block, interpret=self.interpret
         )
         n_row_blocks = self.num_nodes // self.block
-        return sparse_row_softmax(scores, row_of, n_row_blocks), row_of, col_of
+        if self.adaptive_softmax == "dense_corrected":
+            vals, background = sparse_row_softmax_dense_corrected(
+                scores, row_of, n_row_blocks, self.num_nodes
+            )
+            return vals, row_of, col_of, background
+        return sparse_row_softmax(scores, row_of, n_row_blocks), row_of, col_of, None
 
     def _aggregate(self, x_flat, adaptive):
         """x_flat (N_pad, F) -> (K, N_pad, F): identity + each support applied."""
+        if self.distributed:
+            return boundary_aggregate(
+                self._bnd_arrays(), x_flat, self.dist_mesh, axis=self.dist_axis,
+                block=self.block, adaptive_values=adaptive, interpret=self.interpret,
+            )
         outs = [x_flat]
         for values_v, row_v, col_v in self._support_vars:
             outs.append(spmm(
@@ -158,9 +233,13 @@ class SparseATGCN(nn.Module):
                 x_flat, block=self.block, interpret=self.interpret,
             ))
         if adaptive is not None:
-            a_vals, a_row, a_col = adaptive
-            outs.append(spmm(a_vals, a_row, a_col, x_flat, block=self.block,
-                             interpret=self.interpret))
+            a_vals, a_row, a_col, background = adaptive
+            y = spmm(a_vals, a_row, a_col, x_flat, block=self.block,
+                     interpret=self.interpret)
+            if background is not None:
+                # rank-1 exp(0) background of the dense reference softmax
+                y = y + background.reshape(-1, 1) * x_flat.sum(axis=0, keepdims=True)
+            outs.append(y)
         return jnp.stack(outs, axis=0)
 
     def _mix(self, h_stack, cell):
@@ -239,9 +318,55 @@ def init_with_graph(model: SparseATGCN, rng, x):
 
 
 def build_sparse_atgcn_from_feature(config, data_feature) -> SparseATGCN:
-    """Registry-compatible builder: graph arrives via data_feature['bsr_graph']."""
+    """Registry-compatible builder: graph arrives via data_feature['bsr_graph'].
+
+    config['node_parallel']=True selects the edge-partitioned multi-chip
+    backend over a mesh of all visible devices (BASELINE.json config 5)."""
     graph = data_feature["bsr_graph"]
-    return build_sparse_atgcn(graph, config, interpret=config.get("pallas_interpret", False))
+    interpret = config.get("pallas_interpret", False)
+    if config.get("node_parallel", False):
+        import jax as _jax
+
+        from multistgraph_tpu.parallel.mesh import make_mesh
+
+        n_dev = len(_jax.devices())
+        if n_dev > 1:
+            mesh = data_feature.get("node_mesh") or make_mesh(n_dev, axes=("node",))
+            return build_sparse_atgcn_dist(graph, config, mesh, interpret=interpret)
+    return build_sparse_atgcn(graph, config, interpret=interpret)
+
+
+def build_sparse_atgcn_dist(
+    graph, config, mesh, axis: str = "node", interpret: bool = False
+) -> SparseATGCN:
+    """Edge-partitioned multi-chip SparseATGCN over `mesh`'s `axis`.
+
+    Parameter tree is identical to build_sparse_atgcn's for the same config,
+    so checkpoints move freely between the single- and multi-chip backends.
+    """
+    from multistgraph_tpu.ops.spmm_boundary import partition_bsr_boundary
+
+    plan = partition_bsr_boundary(graph, mesh.shape[axis])
+    adaptive = config.get("adpadj", "none") != "none"
+    return SparseATGCN(
+        num_nodes=graph.padded_nodes,
+        output_window=config.get("output_window", 1),
+        output_dim=config.get("output_dim", 1),
+        hidden_dim=config.get("rnn_units", 64),
+        num_layers=config.get("num_layers", 2),
+        embed_dim_adj=config.get("embed_dim_adj", 16),
+        supports=(),
+        adaptive_pattern=True if adaptive else None,
+        node_conditioned=config.get("node_conditioned", "off"),
+        embed_dim_node=config.get("embed_dim_node", 8),
+        block=graph.block,
+        remat=config.get("remat", False),
+        interpret=interpret,
+        adaptive_softmax=config.get("adaptive_softmax", "sampled"),
+        dist_plan=plan,
+        dist_mesh=mesh,
+        dist_axis=axis,
+    )
 
 
 def build_sparse_atgcn(graph, config, interpret: bool = False) -> SparseATGCN:
@@ -264,4 +389,5 @@ def build_sparse_atgcn(graph, config, interpret: bool = False) -> SparseATGCN:
         block=graph.block,
         remat=config.get("remat", False),
         interpret=interpret,
+        adaptive_softmax=config.get("adaptive_softmax", "sampled"),
     )

@@ -42,11 +42,15 @@ def _spmm_kernel(row_of_ref, col_of_ref, values_ref, x_ref, init_ref, out_ref):
     out_ref[...] += jnp.dot(values_ref[0], x_ref[0], preferred_element_type=jnp.float32)
 
 
-@functools.partial(jax.jit, static_argnames=("block", "interpret"))
-def _spmm_impl(values, row_of, col_of, x, block: int, interpret: bool):
+@functools.partial(jax.jit, static_argnames=("block", "interpret", "out_blocks"))
+def _spmm_impl(values, row_of, col_of, x, block: int, interpret: bool, out_blocks=None):
     nnz = values.shape[0]
     n_pad, feat = x.shape
-    n_blocks = n_pad // block
+    in_blocks = n_pad // block
+    # Output row-block count defaults to the input's (square A); boundary-
+    # exchange SpMM reads from a receive buffer whose length is unrelated to
+    # the output rows, so callers may pass out_blocks explicitly.
+    n_blocks = out_blocks if out_blocks is not None else in_blocks
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(nnz,),
@@ -69,8 +73,8 @@ def _spmm_impl(values, row_of, col_of, x, block: int, interpret: bool):
             bytes_accessed=nnz * block * block * 4 + nnz * block * feat * 8,
             transcendentals=0,
         ),
-    )(row_of, col_of, values, x.reshape(n_blocks, block, feat), init)
-    return out.reshape(n_pad, feat)
+    )(row_of, col_of, values, x.reshape(in_blocks, block, feat), init)
+    return out.reshape(n_blocks * block, feat)
 
 
 # --------------------------------------------------- sampled matmul (SDDMM)
@@ -121,21 +125,25 @@ def bsr_transpose(values, row_of, col_of, n_blocks: int):
 
 
 # ------------------------------------------------------- public: spmm (VJP)
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
-def _spmm_vjp(values, row_of, col_of, x, block, interpret):
-    return _spmm_impl(values, row_of, col_of, x, block=block, interpret=interpret)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _spmm_vjp(values, row_of, col_of, x, block, interpret, out_blocks):
+    return _spmm_impl(values, row_of, col_of, x, block=block, interpret=interpret,
+                      out_blocks=out_blocks)
 
 
-def _spmm_fwd(values, row_of, col_of, x, block, interpret):
-    y = _spmm_impl(values, row_of, col_of, x, block=block, interpret=interpret)
+def _spmm_fwd(values, row_of, col_of, x, block, interpret, out_blocks):
+    y = _spmm_impl(values, row_of, col_of, x, block=block, interpret=interpret,
+                   out_blocks=out_blocks)
     return y, (values, row_of, col_of, x)
 
 
-def _spmm_bwd(block, interpret, res, dy):
+def _spmm_bwd(block, interpret, out_blocks, res, dy):
     values, row_of, col_of, x = res
     n_blocks = x.shape[0] // block
-    v_t, r_t, c_t = bsr_transpose(values, row_of, col_of, n_blocks)
-    dx = _spmm_impl(v_t, r_t, c_t, dy, block=block, interpret=interpret)
+    # sort-key multiplier must exceed every row id (rows can outnumber x's
+    # blocks for rectangular A)
+    v_t, r_t, c_t = bsr_transpose(values, row_of, col_of, max(n_blocks, out_blocks or 0))
+    dx = _spmm_impl(v_t, r_t, c_t, dy, block=block, interpret=interpret, out_blocks=n_blocks)
     dvalues = _sampled_matmul_impl(dy, x.T, row_of, col_of, block=block, interpret=interpret)
     zr, zc = _int_zero_grads(row_of, col_of)
     return dvalues, zr, zc, dx
@@ -144,10 +152,14 @@ def _spmm_bwd(block, interpret, res, dy):
 _spmm_vjp.defvjp(_spmm_fwd, _spmm_bwd)
 
 
-def spmm(values, row_of, col_of, x, block: int = 128, interpret: bool = False):
+def spmm(values, row_of, col_of, x, block: int = 128, interpret: bool = False,
+         out_blocks=None):
     """Y = A @ X; values (nnz, b, b) f32, row_of/col_of (nnz,) int32 sorted by
-    row, x (padded_nodes, feat). Differentiable w.r.t. values and x."""
-    return _spmm_vjp(values, row_of, col_of, x, block, interpret)
+    row, x (padded_nodes, feat). Differentiable w.r.t. values and x.
+
+    out_blocks (static) sets the output's row-block count when it differs from
+    x's (rectangular A, e.g. aggregation from a boundary receive buffer)."""
+    return _spmm_vjp(values, row_of, col_of, x, block, interpret, out_blocks)
 
 
 # -------------------------------------------------- public: sddmm_relu (VJP)
@@ -190,12 +202,40 @@ def sparse_row_softmax(values, row_of, num_row_blocks: int):
     """Row-normalize BSR scores: exp(v)/sum over the row's sampled entries.
 
     Sparse analogue of softmax(relu(.)): the dense reference includes
-    exp(0)=1 terms for absent edges, which vanish at 1M nodes; the sparse
-    definition normalizes over sampled edges only (documented deviation,
-    exact at full density).
+    exp(0)=1 terms for absent edges; this definition normalizes over sampled
+    edges only (exact at full density). The deviation is QUANTIFIED in
+    tests/test_sparse_softmax_parity.py: at N=512, xavier-scale embeddings
+    and ~5-10% block density, aggregation with the sampled softmax differs
+    from the dense reference by ~O(1) relative error (the dense matrix is
+    dominated by its exp(0) background, measured rel-L2 ~0.9), so for strict
+    reference parity use sparse_row_softmax_dense_corrected, which reproduces
+    the dense semantics EXACTLY (to float tolerance, asserted <1e-5) at
+    sparse cost via a rank-1 background term.
     """
     exp_vals = jnp.where(values > 0, jnp.exp(values), 0.0)
     per_block_rowsum = exp_vals.sum(axis=2)  # (nnz, block)
     totals = jax.ops.segment_sum(per_block_rowsum, row_of, num_segments=num_row_blocks)
     denom = jnp.maximum(totals[row_of], 1e-9)  # (nnz, block)
     return exp_vals / denom[:, :, None]
+
+
+def sparse_row_softmax_dense_corrected(values, row_of, num_row_blocks: int, num_nodes: int):
+    """EXACT sparse form of the reference's dense softmax(relu(E1 E2^T))
+    (ref MultiATGCN.py:81-83), including the exp(0)=1 terms the dense matrix
+    carries for absent edges and relu-clipped scores.
+
+    Decomposition: with sampled positive scores v at the graph pattern,
+      softmax_row(relu(S))_ij = [1 + (exp(v_ij) - 1) 1{sampled, v>0}] / Z_i,
+      Z_i = N + sum_{sampled, v>0} (exp(v_ij) - 1)
+    i.e. a sparse matrix of (exp(v)-1)/Z_i at the pattern plus the rank-1
+    background (1/Z_i) * 1 1^T. Aggregation therefore is
+      spmm(corrected_values, x) + background[:, None] * sum_j x_j.
+
+    Returns (corrected_values (nnz, b, b), background (num_row_blocks, b)).
+    """
+    expm1 = jnp.where(values > 0, jnp.expm1(values), 0.0)
+    per_block_rowsum = expm1.sum(axis=2)
+    totals = jax.ops.segment_sum(per_block_rowsum, row_of, num_segments=num_row_blocks)
+    z = num_nodes + totals  # (num_row_blocks, block)
+    vals = expm1 / z[row_of][:, :, None]
+    return vals, 1.0 / z

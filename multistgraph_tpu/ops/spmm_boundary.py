@@ -10,11 +10,16 @@ remote-edge aggregation consumes the received buffer and the two partial
 results add.
 
 All indexing is precomputed host-side by the partitioner (static shapes,
-SPMD-identical program on every shard).
+SPMD-identical program on every shard). Beyond the raw `boundary_spmm`,
+`boundary_aggregate` is the model-facing op: ONE feature exchange amortized
+over the identity view, the static support, and the adaptive
+SDDMM->masked-row-softmax->SpMM view (the sparse analogue of the reference's
+dense softmax(relu(E1 E2^T)) adjacency, MultiATGCN.py:80-83), all under a
+single shard_map so a whole SparseATGCN training step runs edge-partitioned.
 """
 
 from dataclasses import dataclass
-from typing import List
+from typing import Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -22,21 +27,32 @@ import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
 from multistgraph_tpu.ops.bsr import BSRGraph
-from multistgraph_tpu.ops.spmm import spmm
+from multistgraph_tpu.ops.spmm import sddmm_relu, spmm
 
 
 @dataclass(frozen=True)
 class BoundaryShardedBSR:
-    """Per-shard arrays stacked on a leading shard axis S."""
+    """Per-shard arrays stacked on a leading shard axis S.
+
+    The PATTERN (rows/cols/masks/exchange plan) is shared by every support
+    that lives on this graph; `local_values`/`remote_values` hold the static
+    support's weights at the pattern's slots. Padded slots have mask 0,
+    row = per-1 and col = 0 with zero values (safe no-ops for SpMM; the
+    adaptive path masks them out explicitly).
+    """
 
     # local-edge blocks (col owned by the shard): col index into x_local
     local_values: np.ndarray   # (S, max_local, b, b)
-    local_row: np.ndarray      # (S, max_local)
-    local_col: np.ndarray      # (S, max_local) — LOCAL col-block indices
+    local_row: np.ndarray      # (S, max_local) — shard-local row-block ids
+    local_col: np.ndarray      # (S, max_local) — shard-LOCAL col-block ids
+    local_gcol: np.ndarray     # (S, max_local) — GLOBAL col-block ids
+    local_mask: np.ndarray     # (S, max_local) float32, 1 = real edge block
     # remote-edge blocks: col index into the received boundary buffer
     remote_values: np.ndarray  # (S, max_remote, b, b)
     remote_row: np.ndarray     # (S, max_remote)
-    remote_col: np.ndarray     # (S, max_remote) — index into recv buffer
+    remote_col: np.ndarray     # (S, max_remote) — slot in recv buffer
+    remote_gcol: np.ndarray    # (S, max_remote) — GLOBAL col-block ids
+    remote_mask: np.ndarray    # (S, max_remote) float32
     # exchange plan: for each (src, dst), which of src's local blocks to send
     send_idx: np.ndarray       # (S, S, max_send) — row-block ids local to src
     row_blocks_per_shard: int
@@ -44,6 +60,19 @@ class BoundaryShardedBSR:
     block: int
     num_shards: int
     boundary_fraction: float   # exchanged blocks / all column blocks
+
+    def graph_arrays(self) -> Dict[str, np.ndarray]:
+        """The stacked arrays a model stores in its 'graph' variable
+        collection (shipped to device as ARGUMENTS, leading axis sharded
+        over the node mesh axis — never baked in as compile-time constants)."""
+        return {
+            "local_values": self.local_values, "local_row": self.local_row,
+            "local_col": self.local_col, "local_gcol": self.local_gcol,
+            "local_mask": self.local_mask,
+            "remote_values": self.remote_values, "remote_row": self.remote_row,
+            "remote_col": self.remote_col, "remote_gcol": self.remote_gcol,
+            "remote_mask": self.remote_mask, "send_idx": self.send_idx,
+        }
 
 
 def partition_bsr_boundary(graph: BSRGraph, num_shards: int) -> BoundaryShardedBSR:
@@ -58,13 +87,13 @@ def partition_bsr_boundary(graph: BSRGraph, num_shards: int) -> BoundaryShardedB
     b = graph.block
 
     # Per-shard edge lists split into local/remote by column ownership.
-    local: List[List] = [[] for _ in range(S)]    # (values, local_row, local_col)
+    local: List[List] = [[] for _ in range(S)]    # (values, local_row, local_col, global_col)
     remote: List[List] = [[] for _ in range(S)]   # (values, local_row, global_col)
     needed = [set() for _ in range(S)]             # remote col blocks per shard
     for v, r, c in zip(graph.values, graph.row_of, graph.col_of):
         s = r // per
         if s * per <= c < (s + 1) * per:
-            local[s].append((v, r - s * per, c - s * per))
+            local[s].append((v, r - s * per, c - s * per, c))
         else:
             remote[s].append((v, r - s * per, c))
             needed[s].add(int(c))
@@ -83,28 +112,39 @@ def partition_bsr_boundary(graph: BSRGraph, num_shards: int) -> BoundaryShardedB
                 recv_pos[dst][c] = src * max_send + p
 
     def pack(edge_lists, col_lookup=None, coverage_rows=True):
+        """edge entries: (values, local_row, col, global_col?) where col is
+        translated through col_lookup when given; padding/coverage entries
+        get mask 0."""
         max_n = max(max((len(e) for e in edge_lists), default=0), 1)
         if coverage_rows:
             max_n = max(max_n, per)  # room for one zero block per row
         vals = np.zeros((S, max_n, b, b), np.float32)
         rows = np.full((S, max_n), per - 1, np.int32)
         cols = np.zeros((S, max_n), np.int32)
+        gcols = np.zeros((S, max_n), np.int32)
+        masks = np.zeros((S, max_n), np.float32)
         for s, edges in enumerate(edge_lists):
+            edges = [e if len(e) == 4 else (e[0], e[1], e[2], e[2]) for e in edges]
             r_arr = np.array([e[1] for e in edges], np.int32)
             if coverage_rows:
                 # zero blocks for uncovered rows (revisited-output init)
                 missing = np.setdiff1d(np.arange(per, dtype=np.int32), r_arr)
-                edges = edges + [(np.zeros((b, b), np.float32), int(m), None) for m in missing]
+                edges = edges + [
+                    (np.zeros((b, b), np.float32), int(m), None, None) for m in missing
+                ]
             edges.sort(key=lambda e: e[1])
-            for i, (v, r, c) in enumerate(edges):
+            for i, (v, r, c, gc) in enumerate(edges):
                 vals[s, i] = v
                 rows[s, i] = r
                 cols[s, i] = 0 if c is None else (col_lookup[s][c] if col_lookup else c)
-        return vals, rows, cols
+                gcols[s, i] = 0 if gc is None else gc
+                masks[s, i] = 0.0 if c is None else 1.0
+        return vals, rows, cols, gcols, masks
 
-    local_vals, local_rows, local_cols = pack(local)
-    remote_lookup = recv_pos
-    remote_vals, remote_rows, remote_cols = pack(remote, col_lookup=remote_lookup)
+    local_vals, local_rows, local_cols, local_gcols, local_masks = pack(local)
+    remote_vals, remote_rows, remote_cols, remote_gcols, remote_masks = pack(
+        remote, col_lookup=recv_pos
+    )
 
     send_idx = np.zeros((S, S, max_send), np.int32)
     for src in range(S):
@@ -116,50 +156,170 @@ def partition_bsr_boundary(graph: BSRGraph, num_shards: int) -> BoundaryShardedB
     exchanged = sum(len(s) for row in send_sets for s in row)
     return BoundaryShardedBSR(
         local_values=local_vals, local_row=local_rows, local_col=local_cols,
+        local_gcol=local_gcols, local_mask=local_masks,
         remote_values=remote_vals, remote_row=remote_rows, remote_col=remote_cols,
+        remote_gcol=remote_gcols, remote_mask=remote_masks,
         send_idx=send_idx, row_blocks_per_shard=per, max_send=max_send,
         block=b, num_shards=S,
         boundary_fraction=exchanged / max(total_cols, 1),
     )
 
 
-def boundary_spmm(
-    sharded: BoundaryShardedBSR, x, mesh: Mesh, axis: str = "node", interpret: bool = False
+def _exchange(x_blocks, send_idx, axis: str, max_send: int, num_shards: int):
+    """Pack outgoing boundary blocks and all_to_all them; returns the flat
+    receive buffer (S * max_send * b, feat): slot (j, p) holds block p of
+    what shard j sent to us."""
+    b, feat = x_blocks.shape[1], x_blocks.shape[2]
+    outgoing = x_blocks[send_idx.reshape(-1)].reshape(num_shards, max_send, b, feat)
+    received = jax.lax.all_to_all(outgoing, axis, split_axis=0, concat_axis=0, tiled=False)
+    return received.reshape(num_shards * max_send * b, feat)
+
+
+def boundary_adaptive_values(
+    arrs: Dict[str, jnp.ndarray],
+    e1: jnp.ndarray,
+    e2: jnp.ndarray,
+    mesh: Mesh,
+    axis: str = "node",
+    block: int = 128,
+    interpret: bool = False,
+    dense_corrected: bool = False,
+    num_nodes: int = 0,
 ):
-    """Y = A @ X with boundary exchange; x sharded P(axis, None) by rows."""
-    per = sharded.row_blocks_per_shard
-    b = sharded.block
-    S = sharded.num_shards
+    """Adaptive-view edge weights at the partition's pattern slots.
 
-    def shard_fn(lv, lr, lc, rv, rr, rc, send_idx, x_shard):
-        lv, lr, lc = lv[0], lr[0], lc[0]
-        rv, rr, rc = rv[0], rr[0], rc[0]
-        send_idx = send_idx[0]  # (S, max_send) local block ids to send to each dst
-        feat = x_shard.shape[-1]
-        x_blocks = x_shard.reshape(per, b, feat)
+    The sparse analogue of the reference's dense softmax(relu(E1 E2^T))
+    adjacency (MultiATGCN.py:80-83), computed shard-locally: SDDMM at the
+    shard's own (global-id) block slots, then a masked sparse row softmax —
+    rows never straddle shards, so normalization needs NO collective.
+    Returns (vals_local (S, max_local, b, b), vals_remote (S, max_remote,
+    b, b), background), sharded over `axis`; background is None for the
+    sampled softmax, or the (S, per*b) rank-1 exp(0) term of the EXACT
+    dense reference semantics when dense_corrected (see
+    ops/spmm.py:sparse_row_softmax_dense_corrected). Called ONCE per
+    forward; the per-step aggregation reuses the values. Differentiable
+    w.r.t. E1/E2 (replicated inputs — shard_map's transpose inserts the
+    gradient psum).
+    """
+    S = mesh.shape[axis]
 
-        # Pack outgoing boundary features and exchange: slot j of the result
-        # holds what shard j sent to us.
-        outgoing = x_blocks[send_idx.reshape(-1)].reshape(S, sharded.max_send, b, feat)
-        received = jax.lax.all_to_all(outgoing, axis, split_axis=0, concat_axis=0, tiled=False)
-        recv_flat = received.reshape(S * sharded.max_send * b, feat)
-
-        # Local aggregation uses only resident features — overlappable with
-        # the all_to_all; remote aggregation consumes the received buffer.
-        y_local = spmm(lv, lr, lc, x_shard, block=b, interpret=interpret)
-        y_remote = spmm(rv, rr, rc, recv_flat, block=b, interpret=interpret)
-        return y_local[: per * b] + y_remote[: per * b]
+    def shard_fn(arrs, e1, e2):
+        a = {k: v[0] for k, v in arrs.items()}
+        n_per = e1.shape[0] // (block * S)  # row blocks per shard
+        my_shard = jax.lax.axis_index(axis)
+        grow_l = a["local_row"] + my_shard * n_per
+        grow_r = a["remote_row"] + my_shard * n_per
+        raw_l = sddmm_relu(e1, e2, grow_l, a["local_gcol"], block=block, interpret=interpret)
+        raw_r = sddmm_relu(e1, e2, grow_r, a["remote_gcol"], block=block, interpret=interpret)
+        # masked row normalization with padding slots excluded (masks);
+        # sampled: exp over real positive scores / their row sum;
+        # dense_corrected: (exp-1)/Z with Z = N + row sum (exact reference).
+        f = jnp.expm1 if dense_corrected else jnp.exp
+        exp_l = jnp.where(raw_l > 0, f(raw_l), 0.0) * a["local_mask"][:, None, None]
+        exp_r = jnp.where(raw_r > 0, f(raw_r), 0.0) * a["remote_mask"][:, None, None]
+        totals = (
+            jax.ops.segment_sum(exp_l.sum(axis=2), a["local_row"], num_segments=n_per)
+            + jax.ops.segment_sum(exp_r.sum(axis=2), a["remote_row"], num_segments=n_per)
+        )
+        if dense_corrected:
+            z = num_nodes + totals
+            vals_l = exp_l / z[a["local_row"]][:, :, None]
+            vals_r = exp_r / z[a["remote_row"]][:, :, None]
+            return vals_l[None], vals_r[None], (1.0 / z).reshape(1, -1)
+        vals_l = exp_l / jnp.maximum(totals[a["local_row"]], 1e-9)[:, :, None]
+        vals_r = exp_r / jnp.maximum(totals[a["remote_row"]], 1e-9)[:, :, None]
+        return vals_l[None], vals_r[None], jnp.zeros((1, n_per * block), e1.dtype)
 
     fn = jax.shard_map(
         shard_fn,
         mesh=mesh,
-        in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis), P(axis), P(axis), P(axis, None)),
-        out_specs=P(axis, None),
+        in_specs=({k: P(axis) for k in arrs}, P(None, None), P(None, None)),
+        out_specs=(P(axis), P(axis), P(axis)),
         check_vma=False,
     )
-    return fn(
-        jnp.asarray(sharded.local_values), jnp.asarray(sharded.local_row),
-        jnp.asarray(sharded.local_col), jnp.asarray(sharded.remote_values),
-        jnp.asarray(sharded.remote_row), jnp.asarray(sharded.remote_col),
-        jnp.asarray(sharded.send_idx), x,
+    vals_l, vals_r, background = fn(arrs, e1, e2)
+    return vals_l, vals_r, (background if dense_corrected else None)
+
+
+def boundary_aggregate(
+    arrs: Dict[str, jnp.ndarray],
+    x: jnp.ndarray,
+    mesh: Mesh,
+    axis: str = "node",
+    block: int = 128,
+    adaptive_values: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+    interpret: bool = False,
+):
+    """(K, N_pad, F) stack [identity, static support, adaptive?] @ X with ONE
+    boundary feature exchange shared by every view.
+
+    arrs: the dict from BoundaryShardedBSR.graph_arrays() as device arrays
+    (leading shard axis sharded over `axis`); x (N_pad, F) sharded over rows;
+    adaptive_values: optional (vals_local, vals_remote, background) from
+    boundary_adaptive_values — when background is present (dense-corrected
+    softmax) its rank-1 term consumes ONE psum'd column sum of x. The
+    local-edge SpMM depends only on resident features (XLA overlaps it with
+    the all_to_all); the remote-edge SpMM consumes the receive buffer and
+    the partials add. Differentiable w.r.t. x and adaptive_values.
+    """
+    S = mesh.shape[axis]
+    per = x.shape[0] // S // block    # row blocks per shard
+    max_send = arrs["send_idx"].shape[-1]
+    has_adaptive = adaptive_values is not None
+    has_background = has_adaptive and adaptive_values[2] is not None
+
+    def shard_fn(arrs, x_shard, *opt):
+        a = {k: v[0] for k, v in arrs.items()}
+        feat = x_shard.shape[-1]
+        recv_flat = _exchange(
+            x_shard.reshape(per, block, feat), a["send_idx"], axis, max_send, S
+        )
+
+        def dual_spmm(lvals, rvals):
+            y_local = spmm(lvals, a["local_row"], a["local_col"], x_shard,
+                           block=block, interpret=interpret, out_blocks=per)
+            y_remote = spmm(rvals, a["remote_row"], a["remote_col"], recv_flat,
+                            block=block, interpret=interpret, out_blocks=per)
+            return y_local + y_remote
+
+        outs = [x_shard, dual_spmm(jax.lax.stop_gradient(a["local_values"]),
+                                   jax.lax.stop_gradient(a["remote_values"]))]
+        if opt:
+            y = dual_spmm(opt[0][0], opt[1][0])
+            if len(opt) == 3:
+                colsum = jax.lax.psum(x_shard.sum(axis=0, keepdims=True), axis)
+                y = y + opt[2][0][:, None] * colsum
+            outs.append(y)
+        return jnp.stack(outs, axis=0)
+
+    extra = ()
+    extra_specs = ()
+    if has_adaptive:
+        extra = (adaptive_values[0], adaptive_values[1])
+        extra_specs = (P(axis), P(axis))
+        if has_background:
+            extra = extra + (adaptive_values[2],)
+            extra_specs = extra_specs + (P(axis),)
+    fn = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=({k: P(axis) for k in arrs}, P(axis, None)) + extra_specs,
+        out_specs=P(None, axis, None),
+        check_vma=False,
     )
+    return fn(arrs, x, *extra)
+
+
+def boundary_spmm(
+    sharded: BoundaryShardedBSR, x, mesh: Mesh, axis: str = "node", interpret: bool = False
+):
+    """Y = A @ X with boundary exchange; x sharded P(axis, None) by rows.
+
+    Standalone-op form (arrays captured as constants — fine for one-off use;
+    models should route graph_arrays() through a variable collection and call
+    boundary_aggregate so the arrays stay program arguments)."""
+    arrs = {k: jnp.asarray(v) for k, v in sharded.graph_arrays().items()}
+    out = boundary_aggregate(
+        arrs, x, mesh, axis=axis, block=sharded.block, interpret=interpret
+    )
+    return out[1]

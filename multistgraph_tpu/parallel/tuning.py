@@ -1,18 +1,33 @@
-"""Hyperparameter search: grid/random sampling + successive-halving early stop.
+"""Hyperparameter search: sampling + model-based search + trial schedulers.
 
 Capability-parity replacement for the reference's Ray Tune / hyperopt layer
 (ref: libcity/pipeline/pipeline.py:65-230, libcity/executor/hyper_tuning.py:109-233)
 without rebuilding Ray (SURVEY.md §7.4.8): trials are independent processes or
-in-process runs; schedulers:
+in-process runs (the default — in-process sequential trials let the remote
+compile service dedupe identical programs across trials); schedulers:
 
-  * 'fifo'  — every trial runs max_epoch epochs;
-  * 'asha'  — synchronous successive halving: rungs of increasing epoch
-    budgets, top 1/eta of trials promoted per rung, resuming from the rung's
-    best checkpoint (same capability class as Ray's ASHAScheduler).
+  * 'fifo'   — every trial runs max_epoch epochs;
+  * 'asha'   — synchronous successive halving: rungs of increasing epoch
+    budgets, top 1/eta of trials promoted per rung, each promoted trial
+    RESUMING from its own rung-best checkpoint via the executor's
+    config['epoch'] resume path (ray ASHAScheduler + per-epoch tune
+    checkpoints, ref traffic_state_executor.py:368-374, pipeline.py:221-230);
+  * 'median' — MedianStoppingRule (ref pipeline.py:210-211): a trial is
+    stopped once its running-best validation loss falls behind the median of
+    prior trials' running-best at the same epoch (sequential trials only).
 
-Search-space DSL parity (ref pipeline.py:65-116): a JSON dict
-  {param: {"type": "uniform"|"randn"|"randint"|"choice"|"grid_search", ...}}
-with lower/upper, mean/sd, lower/upper, list, list respectively.
+Search modes: 'grid' / 'random' point sampling, 'tpe' (hyperopt-TPE-class
+density-ratio search), 'bayes' (BayesOptSearch-class GP expected-improvement,
+ref pipeline.py:196-201).
+
+Search-space DSLs:
+  * JSON dict (ref pipeline.py:65-116):
+      {param: {"type": "uniform"|"randn"|"randint"|"quniform"|"loguniform"|
+               "choice"|"grid_search", ...}}
+  * line file (ref hyper_tuning.py:159-185): `name type values` rows, e.g.
+      learning_rate uniform 0.0005,0.005
+      rnn_units choice [32,64,128]
+    parsed by parse_space_file.
 """
 
 import itertools
@@ -50,12 +65,68 @@ def parse_search_space(space: Any) -> Dict[str, Dict]:
         elif kind == "randint":
             if "lower" not in spec or "upper" not in spec:
                 raise SearchSpaceError("randint %s needs lower/upper" % name)
+        elif kind == "quniform":
+            if any(k not in spec for k in ("lower", "upper", "q")):
+                raise SearchSpaceError("quniform %s needs lower/upper/q" % name)
+        elif kind == "loguniform":
+            # hyperopt semantics: value = exp(uniform(lower, upper)),
+            # i.e. lower/upper are in LOG space (ref hyper_tuning.py:177-179)
+            if "lower" not in spec or "upper" not in spec:
+                raise SearchSpaceError("loguniform %s needs lower/upper" % name)
         elif kind in ("choice", "grid_search"):
             if "list" not in spec:
                 raise SearchSpaceError("%s %s needs list" % (kind, name))
         else:
             raise SearchSpaceError("Unsupported type %s for %s" % (kind, name))
     return space
+
+
+def parse_space_file(path: str) -> Dict[str, Dict]:
+    """The reference's line-based space DSL (ref hyper_tuning.py:159-185):
+    `name type values` rows; choice takes a python-literal list, uniform and
+    loguniform take `low,high`, quniform takes `low,high,q`. Unknown types
+    raise, blank/short lines are skipped (same tolerance as the reference)."""
+    import ast
+
+    space: Dict[str, Dict] = {}
+    with open(path) as fp:
+        for line in fp:
+            parts = line.strip().split(" ")
+            if len(parts) < 3:
+                continue
+            name, kind, value = parts[0], parts[1], "".join(parts[2:])
+            if kind == "choice":
+                space[name] = {"type": "choice", "list": list(ast.literal_eval(value))}
+            elif kind == "uniform":
+                low, high = value.split(",")
+                space[name] = {"type": "uniform", "lower": float(low), "upper": float(high)}
+            elif kind == "quniform":
+                low, high, q = value.split(",")
+                space[name] = {"type": "quniform", "lower": float(low),
+                               "upper": float(high), "q": float(q)}
+            elif kind == "loguniform":
+                low, high = value.split(",")
+                space[name] = {"type": "loguniform", "lower": float(low), "upper": float(high)}
+            else:
+                raise SearchSpaceError("Illegal parameter type [{}]".format(kind))
+    return space
+
+
+def _draw_spec(spec: Dict, rng) -> Any:
+    """One prior draw from a validated spec."""
+    kind = spec["type"]
+    if kind == "uniform":
+        return float(rng.uniform(spec["lower"], spec["upper"]))
+    if kind == "randn":
+        return float(rng.normal(spec["mean"], spec["sd"]))
+    if kind == "randint":
+        return int(rng.integers(spec["lower"], spec["upper"]))
+    if kind == "quniform":
+        v = rng.uniform(spec["lower"], spec["upper"])
+        return float(np.round(v / spec["q"]) * spec["q"])
+    if kind == "loguniform":
+        return float(np.exp(rng.uniform(spec["lower"], spec["upper"])))
+    return spec["list"][int(rng.integers(len(spec["list"])))]
 
 
 def sample_configurations(
@@ -65,15 +136,7 @@ def sample_configurations(
     'random': num_samples independent draws."""
     rng = np.random.default_rng(seed)
 
-    def draw(spec):
-        kind = spec["type"]
-        if kind == "uniform":
-            return float(rng.uniform(spec["lower"], spec["upper"]))
-        if kind == "randn":
-            return float(rng.normal(spec["mean"], spec["sd"]))
-        if kind == "randint":
-            return int(rng.integers(spec["lower"], spec["upper"]))
-        return spec["list"][int(rng.integers(len(spec["list"])))]
+    draw = lambda spec: _draw_spec(spec, rng)  # noqa: E731
 
     if mode == "grid":
         grid_keys = [k for k, s in space.items() if s["type"] in ("grid_search", "choice")]
@@ -113,14 +176,7 @@ class TPESampler:
         self.losses.append(loss)
 
     def _draw(self, spec):
-        kind = spec["type"]
-        if kind == "uniform":
-            return float(self.rng.uniform(spec["lower"], spec["upper"]))
-        if kind == "randn":
-            return float(self.rng.normal(spec["mean"], spec["sd"]))
-        if kind == "randint":
-            return int(self.rng.integers(spec["lower"], spec["upper"]))
-        return spec["list"][int(self.rng.integers(len(spec["list"])))]
+        return _draw_spec(spec, self.rng)
 
     def suggest(self) -> Dict[str, Any]:
         if len(self.losses) < 4:
@@ -143,15 +199,29 @@ class TPESampler:
                 out[name] = values[int(np.argmax(ratio))]
             elif kind == "randint":
                 good = np.array([self.history[i][name] for i in good_idx], dtype=float)
+                bad = np.array([self.history[i][name] for i in bad_idx], dtype=float)
                 cand = np.clip(
                     np.round(self.rng.normal(good.mean(), good.std() + 1.0, self.n_candidates)),
                     spec["lower"], spec["upper"] - 1,
                 ).astype(int)
-                out[name] = int(cand[0])
+                # score candidates by the good/bad density ratio, same as the
+                # continuous branch (a smoothed count ratio over the drawn set)
+                def ratio(v):
+                    h = good.std() + 1.0
+                    lg = np.exp(-0.5 * ((v - good) / h) ** 2).sum() + 1e-12
+                    lb = np.exp(-0.5 * ((v - bad) / h) ** 2).sum() + 1e-12
+                    return lg / lb
+                out[name] = int(cand[int(np.argmax([ratio(v) for v in cand]))])
             else:
-                good = np.array([self.history[i][name] for i in good_idx], dtype=float)
-                bad = np.array([self.history[i][name] for i in bad_idx], dtype=float)
-                if kind == "uniform":
+                log_space = kind == "loguniform"
+                to_internal = (lambda v: np.log(v)) if log_space else (lambda v: v)
+                good = to_internal(
+                    np.array([self.history[i][name] for i in good_idx], dtype=float)
+                )
+                bad = to_internal(
+                    np.array([self.history[i][name] for i in bad_idx], dtype=float)
+                )
+                if kind in ("uniform", "quniform", "loguniform"):
                     span = spec["upper"] - spec["lower"]
                 else:
                     span = spec["sd"]
@@ -164,9 +234,11 @@ class TPESampler:
                     self.rng.normal(
                         good[self.rng.integers(len(good), size=self.n_candidates - n_prior)], bw
                     ),
-                    np.array([self._draw(spec) for _ in range(n_prior)], dtype=float),
+                    to_internal(
+                        np.array([self._draw(spec) for _ in range(n_prior)], dtype=float)
+                    ),
                 ])
-                if kind == "uniform":
+                if kind in ("uniform", "quniform", "loguniform"):
                     cands = np.clip(cands, spec["lower"], spec["upper"])
 
                 def kde(pts, x):
@@ -176,7 +248,101 @@ class TPESampler:
                     )
 
                 score = kde(good, cands) / (kde(bad, cands) + 1e-12)
-                out[name] = float(cands[int(np.argmax(score))])
+                best = float(cands[int(np.argmax(score))])
+                if log_space:
+                    best = float(np.exp(best))
+                elif kind == "quniform":
+                    best = float(np.round(best / spec["q"]) * spec["q"])
+                out[name] = best
+        return out
+
+
+class GPEISampler:
+    """Gaussian-process expected-improvement search (Ray BayesOptSearch
+    capability class, ref pipeline.py:196-201).
+
+    Continuous dims are normalized to [0,1] (log-warped for loguniform); an
+    RBF-kernel GP is fit on observed (params, loss) pairs and the next point
+    maximizes EI over a random candidate set. Categorical dims fall back to
+    prior draws (BayesOpt proper is continuous-only, as in Ray).
+    """
+
+    def __init__(self, space: Dict[str, Dict], seed: int = 0, n_candidates: int = 256,
+                 xi: float = 0.01, length_scale: float = 0.2):
+        self.space = space
+        self.rng = np.random.default_rng(seed)
+        self.n_candidates = n_candidates
+        self.xi = xi
+        self.ls = length_scale
+        self.cont = [k for k, s in space.items()
+                     if s["type"] in ("uniform", "quniform", "loguniform", "randn", "randint")]
+        self.history: List[Dict[str, Any]] = []
+        self.losses: List[float] = []
+
+    def observe(self, params: Dict[str, Any], loss: float) -> None:
+        self.history.append(params)
+        self.losses.append(float(loss))
+
+    def _bounds(self, spec):
+        kind = spec["type"]
+        if kind in ("uniform", "quniform", "loguniform"):
+            return spec["lower"], spec["upper"]
+        if kind == "randint":
+            return spec["lower"], spec["upper"] - 1
+        return spec["mean"] - 3 * spec["sd"], spec["mean"] + 3 * spec["sd"]
+
+    def _normalize(self, name, value):
+        spec = self.space[name]
+        lo, hi = self._bounds(spec)
+        v = np.log(value) if spec["type"] == "loguniform" else value
+        return (v - lo) / max(hi - lo, 1e-12)
+
+    def _denormalize(self, name, unit):
+        spec = self.space[name]
+        lo, hi = self._bounds(spec)
+        v = lo + unit * (hi - lo)
+        kind = spec["type"]
+        if kind == "loguniform":
+            return float(np.exp(v))
+        if kind == "randint":
+            return int(np.clip(np.round(v), spec["lower"], spec["upper"] - 1))
+        if kind == "quniform":
+            return float(np.round(v / spec["q"]) * spec["q"])
+        return float(v)
+
+    def suggest(self) -> Dict[str, Any]:
+        out = {k: _draw_spec(s, self.rng) for k, s in self.space.items()}
+        if len(self.losses) < 3 or not self.cont:
+            return out
+        xs = np.array(
+            [[self._normalize(k, h[k]) for k in self.cont] for h in self.history]
+        )  # (n, d)
+        ys = np.array(self.losses)
+        y_mu, y_sd = ys.mean(), ys.std() + 1e-9
+        ys_n = (ys - y_mu) / y_sd
+
+        def kernel(a, b):
+            d2 = ((a[:, None, :] - b[None, :, :]) ** 2).sum(-1)
+            return np.exp(-0.5 * d2 / self.ls**2)
+
+        k_xx = kernel(xs, xs) + 1e-4 * np.eye(len(xs))
+        alpha = np.linalg.solve(k_xx, ys_n)
+        cands = self.rng.uniform(0, 1, size=(self.n_candidates, len(self.cont)))
+        k_sx = kernel(cands, xs)
+        mu = k_sx @ alpha
+        var = np.maximum(1.0 - np.einsum("ij,jk,ik->i", k_sx, np.linalg.inv(k_xx), k_sx), 1e-9)
+        sd = np.sqrt(var)
+        best = ys_n.min()
+        z = (best - mu - self.xi) / sd
+        # EI under a standard normal
+        from math import erf, sqrt
+
+        phi = np.exp(-0.5 * z**2) / np.sqrt(2 * np.pi)
+        cdf = 0.5 * (1.0 + np.array([erf(v / sqrt(2.0)) for v in z]))
+        ei = sd * (z * cdf + phi)
+        pick = cands[int(np.argmax(ei))]
+        for i, k in enumerate(self.cont):
+            out[k] = self._denormalize(k, float(pick[i]))
         return out
 
 
@@ -187,10 +353,16 @@ class TrialResult:
     val_loss: float
     epochs_run: int
     history: List[float] = field(default_factory=list)
+    # (start_epoch, end_epoch_exclusive) per scheduler rung — start_epoch > 0
+    # proves checkpoint resume rather than retraining from scratch
+    rungs: List[tuple] = field(default_factory=list)
+    best_epoch: int = 0
 
 
-def _run_trial(payload):
-    """Worker: one training run; returns (trial_id, val_loss, history)."""
+def _run_trial(payload, hook=None):
+    """Worker: one training run; returns (trial_id, val_loss, history,
+    best_epoch). `hook(trial_id, epoch, val) -> bool` may request an early
+    stop (scheduler kill); only usable for in-process trials."""
     (trial_id, task, model_name, dataset_name, config_file, base_args, trial_params,
      max_epoch, resume_epoch) = payload
     from multistgraph_tpu.config import load_config
@@ -208,6 +380,9 @@ def _run_trial(payload):
         other_args=args, hyper_config_dict=trial_params,
     )
     if resume_epoch:
+        # resume from this trial's own per-epoch checkpoint — the exp_id is
+        # stable across rungs, so the executor finds the file it saved
+        # (executor.py:139-141, ref traffic_state_executor.py:368-374)
         config["epoch"] = resume_epoch
     set_random_seed(config.get("seed", 0))
     dataset = get_dataset(config)
@@ -216,9 +391,15 @@ def _run_trial(payload):
     model = get_model(config, feature)
     executor = get_executor(config, model, feature)
     history: List[float] = []
-    executor.report_hook = lambda epoch, val, _ex: history.append(val)
+
+    def report(epoch, val, _ex):
+        history.append(val)
+        return hook(trial_id, epoch, val) if hook is not None else False
+
+    executor.report_hook = report
     best = executor.train(train_data, valid_data)
-    return trial_id, float(best), history
+    best_epoch = resume_epoch + int(np.argmin(history)) if history else resume_epoch
+    return trial_id, float(best), history, best_epoch
 
 
 def hyper_parameter(
@@ -237,16 +418,29 @@ def hyper_parameter(
     base_args: Optional[Dict[str, Any]] = None,
     seed: int = 0,
 ) -> List[TrialResult]:
-    """Run the search; returns trial results sorted best-first."""
-    parsed = parse_search_space(space)
-    if mode == "tpe":
-        # Sequential model-based search (hyperopt-TPE capability): each next
-        # trial is proposed from the good/bad density ratio of past trials.
-        sampler = TPESampler(parsed, seed=seed)
+    """Run the search; returns trial results sorted best-first.
+
+    `space` may be a dict, a JSON path/string (parse_search_space), or a
+    line-DSL file path (parse_space_file picks up `.txt`/non-JSON files).
+    """
+    if isinstance(space, str) and os.path.exists(space) and not space.endswith(".json"):
+        try:
+            parsed = parse_search_space(space)
+        except (json.JSONDecodeError, SearchSpaceError):
+            parsed = parse_search_space(parse_space_file(space))
+    else:
+        parsed = parse_search_space(space)
+
+    if mode in ("tpe", "bayes"):
+        # Sequential model-based search: each next trial is proposed from the
+        # surrogate fit on past trials (TPE: good/bad density ratio; bayes:
+        # GP expected improvement). In-process so compiled programs are
+        # deduped across trials by the compile service.
+        sampler = (TPESampler if mode == "tpe" else GPEISampler)(parsed, seed=seed)
         results = {}
         for i in range(num_samples):
             params = sampler.suggest()
-            _tid, best, history = _run_trial(
+            _tid, best, history, best_epoch = _run_trial(
                 (i, task, model_name, dataset_name, config_file, base_args,
                  params, max_epoch, 0)
             )
@@ -254,6 +448,7 @@ def hyper_parameter(
             results[i] = TrialResult(
                 trial_id=i, params=params, val_loss=float(best),
                 epochs_run=max_epoch, history=history,
+                rungs=[(0, max_epoch)], best_epoch=best_epoch,
             )
         return sorted(results.values(), key=lambda r: r.val_loss)
 
@@ -263,36 +458,75 @@ def hyper_parameter(
         for i, cfg in enumerate(configs)
     }
 
-    def launch(trials, epochs, resume_epochs):
+    def launch(trials, epochs, resume_epochs, hook=None):
         payloads = [
             (i, task, model_name, dataset_name, config_file, base_args,
              results[i].params, epochs, resume_epochs.get(i, 0))
             for i in trials
         ]
-        if workers > 1:
+        if workers > 1 and hook is None:
             with ProcessPoolExecutor(max_workers=workers) as pool:
                 outs = list(pool.map(_run_trial, payloads))
         else:
-            outs = [_run_trial(p) for p in payloads]
-        for trial_id, best, history in outs:
+            outs = [_run_trial(p, hook=hook) for p in payloads]
+        for trial_id, best, history, best_epoch in outs:
+            start = resume_epochs.get(trial_id, 0)
             results[trial_id].val_loss = best
             results[trial_id].epochs_run = epochs
             results[trial_id].history.extend(history)
+            results[trial_id].rungs.append((start, epochs))
+            results[trial_id].best_epoch = best_epoch
 
     if scheduler == "fifo":
         launch(list(results), max_epoch, {})
     elif scheduler == "asha":
+        # successive halving with CHECKPOINT RESUME: each promoted trial
+        # continues from its own rung-best checkpoint instead of retraining
+        # (ray ASHAScheduler + tune.checkpoint_dir capability,
+        # ref traffic_state_executor.py:368-374, pipeline.py:221-230)
         alive = list(results)
         budget = min_epochs
+        resume: Dict[int, int] = {}
+        # resume requires per-epoch checkpoints on disk; without saved_model
+        # fall back to rung-restart SHA (still correct, just re-trains)
+        can_resume = (base_args or {}).get("saved_model", True)
         while alive:
-            launch(alive, budget, {})
+            launch(alive, budget, resume)
             if budget >= max_epoch or len(alive) == 1:
                 break
             ranked = sorted(alive, key=lambda i: results[i].val_loss)
             alive = ranked[: max(1, len(ranked) // eta)]
+            if can_resume:
+                resume = {i: results[i].best_epoch for i in alive}
             budget = min(budget * eta, max_epoch)
+    elif scheduler == "median":
+        # MedianStoppingRule (ref pipeline.py:210-211): kill a trial whose
+        # running-best val loss is worse than the median of earlier trials'
+        # running-best at the same epoch. Sequential by construction.
+        finished_running_best: List[List[float]] = []
+
+        def median_hook(trial_id, epoch, val):
+            del trial_id
+            results_running_best.append(
+                min(results_running_best[-1], val) if results_running_best else val
+            )
+            if epoch < min_epochs or not finished_running_best:
+                return False
+            at_epoch = [rb[min(epoch, len(rb) - 1)] for rb in finished_running_best]
+            return results_running_best[-1] > float(np.median(at_epoch))
+
+        for i in list(results):
+            results_running_best: List[float] = []
+            launch([i], max_epoch, {}, hook=median_hook)
+            hist = results[i].history
+            rb, acc = [], float("inf")
+            for v in hist:
+                acc = min(acc, v)
+                rb.append(acc)
+            if rb:
+                finished_running_best.append(rb)
     else:
-        raise ValueError("scheduler must be 'fifo' or 'asha'")
+        raise ValueError("scheduler must be 'fifo', 'asha' or 'median'")
 
     return sorted(results.values(), key=lambda r: r.val_loss)
 
@@ -302,7 +536,7 @@ def objective_function(
     max_epoch=10,
 ):
     """Single-objective evaluation (ref pipeline.py:233-249): returns best val loss."""
-    _, best, _ = _run_trial(
+    _, best, _, _ = _run_trial(
         (0, task, model_name, dataset_name, config_file, base_args,
          hyper_config_dict or {}, max_epoch, 0)
     )

@@ -40,3 +40,28 @@ def test_dp_matches_single_device(synthetic_dataset, tmp_path):
     best_dp, ex = _run(synthetic_dataset, tmp_path, "dp", data_parallel=True)
     assert ex._mesh is not None  # the 8-device CPU mesh was actually used
     np.testing.assert_allclose(best_single, best_dp, rtol=1e-4)
+
+
+def test_dp_splits_are_sample_sharded(synthetic_dataset, tmp_path):
+    """DP storage scales with the mesh: split arrays land sharded over the
+    sample axis, not replicated on device 0 — with unchanged training loss
+    (covered by test_dp_matches_single_device)."""
+    from multistgraph_tpu.config import load_config
+    from multistgraph_tpu.data import get_dataset
+
+    args = {
+        "data_dir": synthetic_dataset,
+        "cache_dir": str(tmp_path / "cache_sh"),
+        "output_dir": str(tmp_path / "out_sh"),
+        "exp_id": "dp_shard", "data_parallel": True,
+        "len_closeness": 1, "len_period": 1, "len_trend": 1,
+        "interval_period": 2, "interval_trend": 4,
+        "input_window": 24, "output_window": 3,
+        "load_external": True, "add_time_in_day": True,
+        "batch_size": 8, "train_rate": 0.7, "eval_rate": 0.15, "seed": 0,
+    }
+    config = load_config("traffic_state_pred", "MultiATGCN", "SYN_SMALL", other_args=args)
+    train, val, test = get_dataset(config).get_data()
+    for loader in (train, val, test):
+        spec = loader.x.sharding.spec
+        assert spec and spec[0] == "data", "split not sharded over samples: {}".format(spec)

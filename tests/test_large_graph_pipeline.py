@@ -33,3 +33,34 @@ def test_sparse_model_pipeline(tmp_path):
     assert np.isfinite(result["masked_MAE"]).all()
     # training should beat the trivial scale: losses finite and not absurd
     assert float(result["masked_MAE"].iloc[0]) < 10
+
+
+def test_sparse_model_pipeline_node_parallel(tmp_path):
+    """North-star path end-to-end: edge-partitioned SparseATGCN training over
+    the 8-device virtual mesh through the ordinary run_model pipeline."""
+    result = run_model(
+        task="traffic_state_pred",
+        model_name="SparseATGCN",
+        dataset_name="SYN_LARGE_TEST",
+        other_args={
+            "output_dir": str(tmp_path / "out"),
+            "exp_id": "sparse_e2e_np",
+            "num_nodes": 1000,         # pads to 1024 = 8 row blocks over 8 shards
+            "avg_degree": 8,
+            "len_time": 120,
+            "input_window": 8,
+            "output_window": 2,
+            "batch_size": 4,
+            "rnn_units": 8,
+            "embed_dim_adj": 4,
+            "num_layers": 1,
+            "adpadj": "unidirection",  # adaptive view through the SDDMM path
+            "node_parallel": True,
+            "max_epoch": 1,
+            "use_early_stop": False,
+            "pallas_interpret": True,
+            "seed": 0,
+        },
+    )
+    assert len(result) == 2
+    assert np.isfinite(result["masked_MAE"]).all()
