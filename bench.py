@@ -97,11 +97,38 @@ def main():
     epoch_seconds = (time.time() - t0) / TIMED_EPOCHS
     epochs_per_hour = 3600.0 / epoch_seconds
     steps_per_second = len(train_loader) / epoch_seconds
+    step_ms = 1e3 / steps_per_second
     log(
-        "epoch {:.3f}s | {:.1f} steps/s | final loss {:.4f} | device {}".format(
-            epoch_seconds, steps_per_second, loss, jax.devices()[0].platform
+        "epoch {:.3f}s | {:.1f} steps/s | {:.2f} ms/step | final loss {:.4f} | device {}".format(
+            epoch_seconds, steps_per_second, step_ms, loss, jax.devices()[0].platform
         )
     )
+
+    # Roofline / MFU for the compiled epoch program (XLA's own flop count).
+    # v5e peaks: ~197 TFLOP/s bf16 MXU, ~819 GB/s HBM; the program runs f32.
+    try:
+        perm = jnp.asarray(train_loader.epoch_permutation())
+        cost = (
+            executor._train_epoch_scan.lower(
+                executor.params, executor.opt_state,
+                train_loader.x, train_loader.y, perm, keys[0], 3e-3,
+            ).compile().cost_analysis()
+        )
+        flops = float(cost.get("flops", 0.0))
+        bytes_accessed = float(cost.get("bytes accessed", 0.0))
+        if flops:
+            achieved = flops / epoch_seconds
+            log(
+                "roofline: {:.1f} GFLOP/epoch, {:.2f} TFLOP/s achieved "
+                "({:.1f}% of 197 TF/s bf16 peak); XLA bytes {:.2f} GB/epoch "
+                "-> {:.0f} GB/s ({:.0f}% of 819 GB/s HBM)".format(
+                    flops / 1e9, achieved / 1e12, 100 * achieved / 197e12,
+                    bytes_accessed / 1e9, bytes_accessed / epoch_seconds / 1e9,
+                    100 * bytes_accessed / epoch_seconds / 819e9,
+                )
+            )
+    except Exception as exc:  # cost analysis is best-effort on relay backends
+        log("cost analysis unavailable: {}".format(exc))
 
     vs_baseline = None
     baseline_path = os.path.join(ROOT, "BASELINE_MEASURED.json")

@@ -67,7 +67,20 @@ def make_synthetic_dataset(
     )
     rel.to_csv(os.path.join(path, name + ".rel"), index=False)
 
-    # Hourly series: node-specific daily + weekly harmonics + noise, clipped >= 0.
+    # Hourly series with the statistical structure real crowd-flow data has,
+    # so forecast difficulty actually GROWS with horizon and every model
+    # component is exercised (a pure sinusoid + iid noise is equally
+    # predictable at every horizon, which made per-horizon tables flat):
+    #   * sharp two-harmonic daily profile with per-node phase (closeness
+    #     heads + time-of-day feature),
+    #   * weekday/weekend level shift + weekly harmonic (period heads, dow),
+    #   * slow per-node trend + 28-day cycle (trend heads),
+    #   * AR(1) dynamics (phi=0.96, ~24h memory) with NODE-CORRELATED
+    #     innovations mixed through the row-normalized OD matrix — recent
+    #     history and neighbors are informative, and that information decays
+    #     with lead time (graph conv + horizon-dependent error),
+    #   * slow AR amplitude modulation of the daily peak (multi-day memory),
+    #   * iid observation noise (irreducible floor).
     times = np.datetime64(start_time.replace("T", " ").replace("Z", "")) + np.arange(
         len_time
     ) * np.timedelta64(3600, "s")
@@ -75,10 +88,51 @@ def make_synthetic_dataset(
     means = np.maximum(rng.normal(node_mean, node_mean / 2, num_nodes), 1.0)
     stds = np.maximum(rng.normal(node_std, node_std / 3, num_nodes), 0.5)
     phase = rng.uniform(0, 2 * np.pi, num_nodes)
-    daily = np.sin(2 * np.pi * hours[None, :] / 24 + phase[:, None])
-    weekly = 0.4 * np.sin(2 * np.pi * hours[None, :] / (24 * 7) + phase[:, None])
-    noise = rng.normal(0, 0.3, (num_nodes, len_time))
-    visits = np.maximum(means[:, None] + stds[:, None] * (daily + weekly + noise), 0.0)
+    daily = (
+        np.sin(2 * np.pi * hours[None, :] / 24 + phase[:, None])
+        + 0.5 * np.sin(4 * np.pi * hours[None, :] / 24 + 2 * phase[:, None])
+    )
+    day_idx = times.astype("datetime64[D]").astype(np.int64)
+    weekday_series = (day_idx + 3) % 7  # 2019-01-01 was a Tuesday
+    weekend = (weekday_series >= 5).astype(float)
+    weekly = -0.5 * weekend[None, :] + 0.25 * np.sin(
+        2 * np.pi * hours[None, :] / (24 * 7) + phase[:, None]
+    )
+    slope = rng.normal(0, 0.4, num_nodes)
+    trend = slope[:, None] * (hours[None, :] / max(len_time - 1, 1)) + 0.3 * np.sin(
+        2 * np.pi * hours[None, :] / (24 * 28) + phase[:, None]
+    )
+    # OD-mixed AR(1): innovations are half own, half neighborhood average
+    # (diagonal removed — self-flow would swamp the cross-node coupling)
+    w_od = volume.astype(np.float64).copy()
+    np.fill_diagonal(w_od, 0.0)
+    w_od = w_od / np.maximum(w_od.sum(axis=1, keepdims=True), 1e-9)
+    ar = np.zeros((num_nodes, len_time), np.float64)
+    amp = np.zeros((num_nodes, len_time), np.float64)
+    phi, phi_amp = 0.96, 0.995
+    sig_ar = np.sqrt(1.0 - phi**2)      # unit-variance stationary AR
+    sig_amp = np.sqrt(1.0 - phi_amp**2)
+    state = rng.normal(0, 1, num_nodes)
+    state_amp = rng.normal(0, 1, num_nodes)
+    for t in range(len_time):
+        white = rng.normal(0, 1, num_nodes)
+        state = phi * state + sig_ar * (0.5 * white + 0.5 * (w_od @ white))
+        state_amp = phi_amp * state_amp + sig_amp * rng.normal(0, 1, num_nodes)
+        ar[:, t] = state
+        amp[:, t] = state_amp
+    noise = rng.normal(0, 0.15, (num_nodes, len_time))
+    visits = np.maximum(
+        means[:, None]
+        + stds[:, None]
+        * (
+            0.7 * daily * (1.0 + 0.4 * amp)
+            + weekly
+            + 0.5 * trend
+            + 0.8 * ar
+            + noise
+        ),
+        0.0,
+    )
 
     gbst = pd.DataFrame(
         {

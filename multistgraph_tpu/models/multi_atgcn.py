@@ -32,6 +32,7 @@ default here, with the SVD/PCA recipe available via config ``svd_init=True``
 (see models/initializers.py).
 """
 
+import functools
 from typing import Any, Dict, Tuple
 
 import flax.linen as nn
@@ -57,6 +58,154 @@ def _uniform01(shape):
     def init(key, _shape=None, dtype=jnp.float32):
         return jax.random.uniform(key, shape, dtype, minval=0.0, maxval=1.0)
     return init
+
+
+# --------------------------------------------------------------------------
+# Fused ATGRU layer with hand-written BPTT.
+#
+# Reverse-mode AD of the encoder scan accumulates the cotangent of the
+# EXPANDED node-conditioned weights W (N,K,I,O) — a ~233 MB read-modify-write
+# per scan step (measured: ~4.8 ms of the 10.3 ms per-layer fwd+bwd at DC-237
+# shapes, tools/bench_grad_variants.py). This custom VJP instead stacks the
+# small per-step pre-activation cotangents during the reverse scan and forms
+# every weight gradient in ONE contraction over (T, B) afterwards:
+#     dW_g = einsum('tbkni,tbno->nkio', hh_stack, dpre_g_stack)
+# so the only in-loop accumulators are the (K,N,N) supports cotangent and the
+# small residual-GRU weights. Numerics are asserted identical to plain
+# autodiff in tests/test_fused_bptt.py.
+# --------------------------------------------------------------------------
+def _atgru_step_forward(h_prev, xs, supports, wg_h, wu_h, bg, bu,
+                        rg_h, ru_h, rg_b, ru_b, dtype=None):
+    """One ATGRU+residual step; returns (h_new, intermediates).
+
+    dtype=bfloat16 runs the graph aggregations and weight applications in
+    bf16 with f32 accumulation (halves the dominant HBM weight stream);
+    gates/elementwise stay f32.
+    """
+    cast = (lambda a: a.astype(dtype)) if dtype is not None else (lambda a: a)
+    mm = lambda spec, a, b: jnp.einsum(  # noqa: E731
+        spec, cast(a), cast(b), preferred_element_type=jnp.float32
+    )
+    gate_x_t, upd_x_t, rg_x_t, ru_x_t, w_t = xs
+    hh = mm("knm,bmc->bknc", supports, h_prev)
+    zr = jax.nn.sigmoid(gate_x_t + mm("bkni,nkio->bno", hh, wg_h) + bg)
+    z, r = jnp.split(zr, 2, axis=-1)
+    hzh = mm("knm,bmc->bknc", supports, z * h_prev)
+    hc = jnp.tanh(upd_x_t + mm("bkni,nkio->bno", hzh, wu_h) + bu)
+    h_agru = r * h_prev + (1.0 - r) * hc
+    zr2 = jax.nn.sigmoid(rg_x_t + h_agru @ rg_h + rg_b)
+    z2, r2 = jnp.split(zr2, 2, axis=-1)
+    hc_res = jnp.tanh(ru_x_t + (z2 * h_agru) @ ru_h + ru_b)
+    h_res = r2 * h_agru + (1.0 - r2) * hc_res
+    h_new = w_t * h_agru + (1.0 - w_t) * h_res
+    # residual stacks stored in the compute dtype (halves bwd HBM traffic)
+    hh_r = hh if dtype is None else hh.astype(dtype)
+    hzh_r = hzh if dtype is None else hzh.astype(dtype)
+    return h_new, (hh_r, zr, hzh_r, hc, h_agru, zr2, hc_res)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def fused_atgru_layer(dtype, gate_x, upd_x, rg_x, ru_x, w_seq, supports,
+                      wg_h, wu_h, bg, bu, rg_h, ru_h, rg_b, ru_b, state0):
+    """states (T,B,N,H) of one encoder layer (graph GRU + residual GRU +
+    learned per-step mix), matching the inline scan in MultiATGCN._encoder.
+    dtype: None for exact f32, or jnp.bfloat16 for mixed-precision matmuls."""
+
+    def step(h, xs):
+        h_new, _ = _atgru_step_forward(
+            h, xs, supports, wg_h, wu_h, bg, bu, rg_h, ru_h, rg_b, ru_b, dtype
+        )
+        return h_new, h_new
+
+    _, states = jax.lax.scan(step, state0, (gate_x, upd_x, rg_x, ru_x, w_seq))
+    return states
+
+
+def _fused_fwd(dtype, gate_x, upd_x, rg_x, ru_x, w_seq, supports,
+               wg_h, wu_h, bg, bu, rg_h, ru_h, rg_b, ru_b, state0):
+    def step(h, xs):
+        h_new, inter = _atgru_step_forward(
+            h, xs, supports, wg_h, wu_h, bg, bu, rg_h, ru_h, rg_b, ru_b, dtype
+        )
+        return h_new, (h_new,) + inter
+
+    _, outs = jax.lax.scan(step, state0, (gate_x, upd_x, rg_x, ru_x, w_seq))
+    states, hh_s, zr_s, hzh_s, hc_s, h_agru_s, zr2_s, hc_res_s = outs
+    res = (gate_x, upd_x, rg_x, ru_x, w_seq, supports, wg_h, wu_h, bg, bu,
+           rg_h, ru_h, rg_b, ru_b, state0,
+           states, hh_s, zr_s, hzh_s, hc_s, h_agru_s, zr2_s, hc_res_s)
+    return states, res
+
+
+def _fused_bwd(dtype, res, dstates):
+    (gate_x, upd_x, rg_x, ru_x, w_seq, supports, wg_h, wu_h, bg, bu,
+     rg_h, ru_h, rg_b, ru_b, state0,
+     states, hh_s, zr_s, hzh_s, hc_s, h_agru_s, zr2_s, hc_res_s) = res
+    cast = (lambda a: a.astype(dtype)) if dtype is not None else (lambda a: a)
+    mm = lambda spec, a, b: jnp.einsum(  # noqa: E731
+        spec, cast(a), cast(b), preferred_element_type=jnp.float32
+    )
+    # h_{t-1} for every step
+    h_prev_s = jnp.concatenate([state0[None], states[:-1]], axis=0)
+
+    def back_step(carry, xs):
+        dh, d_sup, d_rg_h, d_ru_h = carry
+        (dy, h_prev, zr, hc, h_agru, zr2, hc_res, w_t) = xs
+        dh = dh + dy
+        z, r = jnp.split(zr, 2, axis=-1)
+        z2, r2 = jnp.split(zr2, 2, axis=-1)
+        h_res = r2 * h_agru + (1.0 - r2) * hc_res
+        # mix: h_new = w_t h_agru + (1-w_t) h_res
+        dw_t = jnp.sum((h_agru - h_res) * dh)
+        dh_agru = w_t * dh
+        dh_res = (1.0 - w_t) * dh
+        # residual GRU backward
+        dr2 = (h_agru - hc_res) * dh_res
+        dh_agru = dh_agru + r2 * dh_res
+        dpre_ru = (1.0 - r2) * dh_res * (1.0 - hc_res * hc_res)
+        dz2h = dpre_ru @ ru_h.T
+        dz2 = dz2h * h_agru
+        dh_agru = dh_agru + dz2h * z2
+        d_ru_h = d_ru_h + jnp.einsum("bnc,bno->co", z2 * h_agru, dpre_ru)
+        dpre_rg = jnp.concatenate([dz2, dr2], axis=-1) * zr2 * (1.0 - zr2)
+        dh_agru = dh_agru + dpre_rg @ rg_h.T
+        d_rg_h = d_rg_h + jnp.einsum("bnc,bno->co", h_agru, dpre_rg)
+        # AGRU backward: h_agru = r h_prev + (1-r) hc
+        dr = (h_prev - hc) * dh_agru
+        dh_prev = r * dh_agru
+        dpre_u = (1.0 - r) * dh_agru * (1.0 - hc * hc)
+        dhzh = mm("bno,nkio->bkni", dpre_u, wu_h)
+        zh = z * h_prev
+        d_sup = d_sup + mm("bknc,bmc->knm", dhzh, zh)
+        dzh = mm("knm,bknc->bmc", supports, dhzh)
+        dz = dzh * h_prev
+        dh_prev = dh_prev + dzh * z
+        dpre_g = jnp.concatenate([dz, dr], axis=-1) * zr * (1.0 - zr)
+        dhh = mm("bno,nkio->bkni", dpre_g, wg_h)
+        d_sup = d_sup + mm("bknc,bmc->knm", dhh, h_prev)
+        dh_prev = dh_prev + mm("knm,bknc->bmc", supports, dhh)
+        return (dh_prev, d_sup, d_rg_h, d_ru_h), (dpre_g, dpre_u, dpre_rg, dpre_ru, dw_t)
+
+    zero = jnp.zeros_like
+    carry0 = (zero(state0), zero(supports), zero(rg_h), zero(ru_h))
+    (dstate0, d_sup, d_rg_h, d_ru_h), stacks = jax.lax.scan(
+        back_step, carry0,
+        (dstates, h_prev_s, zr_s, hc_s, h_agru_s, zr2_s, hc_res_s, w_seq),
+        reverse=True,
+    )
+    dpre_g_s, dpre_u_s, dpre_rg_s, dpre_ru_s, dw_seq = stacks
+    # ONE contraction over (T,B) per weight — no per-step (N,K,I,O) RMW
+    d_wg_h = mm("tbkni,tbno->nkio", hh_s, dpre_g_s)
+    d_wu_h = mm("tbkni,tbno->nkio", hzh_s, dpre_u_s)
+    d_bg = dpre_g_s.sum(axis=(0, 1))
+    d_bu = dpre_u_s.sum(axis=(0, 1))
+    d_rg_b = dpre_rg_s.sum(axis=(0, 1, 2))
+    d_ru_b = dpre_ru_s.sum(axis=(0, 1, 2))
+    return (dpre_g_s, dpre_u_s, dpre_rg_s, dpre_ru_s, dw_seq, d_sup,
+            d_wg_h, d_wu_h, d_bg, d_bu, d_rg_h, d_ru_h, d_rg_b, d_ru_b, dstate0)
+
+
+fused_atgru_layer.defvjp(_fused_fwd, _fused_bwd)
 
 
 class MultiATGCN(nn.Module):
@@ -91,6 +240,14 @@ class MultiATGCN(nn.Module):
     vec1_init_value: Any = None       # optional (N, d_adj)
     vec2_init_value: Any = None       # optional (d_adj, N)
     dropout_rate: float = 0.1
+    # hand-written BPTT for the encoder recurrence (fused_atgru_layer):
+    # avoids the per-step (N,K,I,O) weight-cotangent accumulation of plain
+    # autodiff (~1.5x faster train step at DC-237); numerics identical
+    # (tests/test_fused_bptt.py). Set False to fall back to autodiff.
+    fused_bptt: bool = True
+    # 'bfloat16' runs the encoder's graph/weight matmuls in bf16 with f32
+    # accumulation (halves the dominant HBM weight stream); None = exact f32
+    compute_dtype: Any = None
 
     @property
     def output_dim(self) -> int:
@@ -287,25 +444,25 @@ class MultiATGCN(nn.Module):
                 xw = jnp.einsum("tbkni,nkio->tbno", hx, jnp.concatenate([wg_x, wu_x], axis=3))
                 gate_x, upd_x = xw[..., : 2 * h], xw[..., 2 * h :]
 
-                def step(h, inputs):
-                    gate_x_t, upd_x_t, rg_x_t, ru_x_t, w_t = inputs
-                    hh = jnp.einsum("knm,bmc->bknc", supports, h)
-                    z_r = jax.nn.sigmoid(
-                        gate_x_t + jnp.einsum("bkni,nkio->bno", hh, wg_h) + bg
+                dtype = jnp.dtype(self.compute_dtype) if self.compute_dtype else None
+                if self.fused_bptt:
+                    states = fused_atgru_layer(
+                        dtype,
+                        gate_x, upd_x, res_gate_x, res_upd_x, w_seq, supports,
+                        wg_h, wu_h, bg, bu,
+                        res_gate_h, res_upd_h, res_gate_b, res_upd_b, state0,
                     )
-                    z, r = jnp.split(z_r, 2, axis=-1)
-                    hzh = jnp.einsum("knm,bmc->bknc", supports, z * h)
-                    hc = jnp.tanh(upd_x_t + jnp.einsum("bkni,nkio->bno", hzh, wu_h) + bu)
-                    h_agru = r * h + (1.0 - r) * hc
-                    # residual plain-GRU branch, fed the NEW state (ref :204-208)
-                    z_r_res = jax.nn.sigmoid(rg_x_t + h_agru @ res_gate_h + res_gate_b)
-                    z2, r2 = jnp.split(z_r_res, 2, axis=-1)
-                    hc_res = jnp.tanh(ru_x_t + (z2 * h_agru) @ res_upd_h + res_upd_b)
-                    h_res = r2 * h_agru + (1.0 - r2) * hc_res
-                    h_new = w_t * h_agru + (1.0 - w_t) * h_res
-                    return h_new, h_new
+                else:
+                    def step(h, inputs):
+                        h_new, _ = _atgru_step_forward(
+                            h, inputs, supports, wg_h, wu_h, bg, bu,
+                            res_gate_h, res_upd_h, res_gate_b, res_upd_b, dtype,
+                        )
+                        return h_new, h_new
 
-                _, states = jax.lax.scan(step, state0, (gate_x, upd_x, res_gate_x, res_upd_x, w_seq))
+                    _, states = jax.lax.scan(
+                        step, state0, (gate_x, upd_x, res_gate_x, res_upd_x, w_seq)
+                    )
             else:
                 def step(h, inputs):  # plain GRU only (ref :187-192)
                     rg_x_t, ru_x_t, _w_t = inputs
@@ -466,6 +623,8 @@ def build_multi_atgcn(config, data_feature) -> MultiATGCN:
         node_emb_init_value=node_emb_init,
         vec1_init_value=vec1_init,
         vec2_init_value=vec2_init,
+        fused_bptt=config.get("fused_bptt", True),
+        compute_dtype=config.get("compute_dtype", None),
     )
 
 

@@ -28,6 +28,10 @@ class BSRGraph:
     col_of: np.ndarray   # (nnz_blocks,)
     num_nodes: int       # un-padded node count
     block: int
+    # node permutation applied at construction (new_id = position of old id),
+    # or None. Feature matrices must be reordered with apply_node_order /
+    # undone with invert_node_order to stay consistent with the graph.
+    perm: np.ndarray = None
 
     @property
     def padded_nodes(self) -> int:
@@ -54,10 +58,64 @@ class BSRGraph:
         return out[: self.num_nodes, : self.num_nodes]
 
 
+def rcm_order(src: np.ndarray, dst: np.ndarray, num_nodes: int) -> np.ndarray:
+    """Reverse Cuthill-McKee node ordering of the symmetrized edge set.
+
+    Scattered (power-law) graphs fill 128x128 BSR tiles pathologically
+    (~0.04% at 1M nodes, docs/DESIGN.md §4); RCM clusters connected nodes
+    into nearby ids so edges concentrate near the diagonal and far fewer
+    tiles are touched. Returns old node ids in new order (perm[new] = old).
+    """
+    from scipy.sparse import coo_matrix
+    from scipy.sparse.csgraph import reverse_cuthill_mckee
+
+    ones = np.ones(len(src) * 2, np.float32)
+    sym = coo_matrix(
+        (ones, (np.concatenate([src, dst]), np.concatenate([dst, src]))),
+        shape=(num_nodes, num_nodes),
+    ).tocsr()
+    return np.asarray(reverse_cuthill_mckee(sym, symmetric_mode=True), dtype=np.int64)
+
+
+def apply_node_order(x: np.ndarray, perm: np.ndarray, axis: int = 0) -> np.ndarray:
+    """Reorder a feature array's node axis to match a permuted graph
+    (x_new[i] = x_old[perm[i]]); pads beyond len(perm) are left in place."""
+    idx = [slice(None)] * x.ndim
+    idx[axis] = perm
+    out = x.copy()
+    sel = [slice(None)] * x.ndim
+    sel[axis] = slice(0, len(perm))
+    out[tuple(sel)] = x[tuple(idx)]
+    return out
+
+
+def invert_node_order(y: np.ndarray, perm: np.ndarray, axis: int = 0) -> np.ndarray:
+    """Undo apply_node_order on an output array (y_old[perm[i]] = y_new[i])."""
+    inv = np.empty_like(perm)
+    inv[perm] = np.arange(len(perm))
+    return apply_node_order(y, inv, axis)
+
+
 def bsr_from_coo(
-    src: np.ndarray, dst: np.ndarray, weights: np.ndarray, num_nodes: int, block: int = 128
+    src: np.ndarray,
+    dst: np.ndarray,
+    weights: np.ndarray,
+    num_nodes: int,
+    block: int = 128,
+    reorder: str = None,
 ) -> BSRGraph:
-    """Build BSR from COO edges (duplicate edges accumulate)."""
+    """Build BSR from COO edges (duplicate edges accumulate).
+
+    reorder='rcm' relabels nodes by reverse Cuthill-McKee before tiling —
+    use for scattered graphs where raw tiles are nearly empty; the applied
+    permutation is recorded on the graph (reorder features with
+    apply_node_order)."""
+    perm = None
+    if reorder == "rcm":
+        perm = rcm_order(src, dst, num_nodes)
+        inv = np.empty(num_nodes, np.int64)
+        inv[perm] = np.arange(num_nodes)
+        src, dst = inv[src], inv[dst]
     rb = src // block
     cb = dst // block
     n_blocks = -(-num_nodes // block)
@@ -71,6 +129,7 @@ def bsr_from_coo(
         col_of=(uniq % n_blocks).astype(np.int32),
         num_nodes=num_nodes,
         block=block,
+        perm=perm,
     )
 
 

@@ -24,6 +24,12 @@ def run_model(
     config = load_config(
         task, model_name, dataset_name, config_file, saved_model, train, other_args
     )
+    if config.get("distributed", False):
+        # multi-host pod launch: every host joins the cluster before any jax
+        # call; devices then span the pod (parallel/launch.py)
+        from multistgraph_tpu.parallel.launch import initialize_distributed
+
+        initialize_distributed()
     exp_id = config.get("exp_id", None)
     if exp_id is None:
         exp_id = int(random.SystemRandom().random() * 100000)

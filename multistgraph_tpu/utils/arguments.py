@@ -48,6 +48,10 @@ GENERAL_ARGUMENTS = {
     "load_dynamic": str2bool,
     "data_dir": str,
     "output_dir": str,
+    # TPU-native additions (no reference counterpart): parallelism switches
+    "data_parallel": str2bool,   # shard the batch axis over all devices
+    "node_parallel": str2bool,   # edge-partitioned sparse multi-chip training
+    "distributed": str2bool,     # multi-host pod launch (jax.distributed)
 }
 
 

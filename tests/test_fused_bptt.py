@@ -1,0 +1,151 @@
+"""fused_atgru_layer's hand-written BPTT must equal plain autodiff exactly.
+
+The fused layer (models/multi_atgcn.py:fused_atgru_layer) restructures the
+backward pass to avoid per-step accumulation of the expanded weight
+cotangent; these tests compare value AND every input gradient against
+jax.grad of the same recurrence expressed with the plain scan, plus the
+full model forward/grad with fused_bptt on vs off.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from multistgraph_tpu.models.multi_atgcn import (
+    _atgru_step_forward,
+    build_multi_atgcn,
+    fused_atgru_layer,
+    make_loss_fn,
+)
+
+T, B, N, H, K = 5, 3, 7, 4, 2
+
+
+def _inputs(rng):
+    f = lambda *s: jnp.asarray(rng.normal(size=s).astype(np.float32)) * 0.5
+    return dict(
+        gate_x=f(T, B, N, 2 * H), upd_x=f(T, B, N, H),
+        rg_x=f(T, B, N, 2 * H), ru_x=f(T, B, N, H),
+        w_seq=jax.nn.sigmoid(f(T)), supports=f(K, N, N) / np.sqrt(N),
+        wg_h=f(N, K, H, 2 * H) * 0.3, wu_h=f(N, K, H, H) * 0.3,
+        bg=f(N, 2 * H), bu=f(N, H),
+        rg_h=f(H, 2 * H), ru_h=f(H, H), rg_b=f(2 * H), ru_b=f(H),
+        state0=f(B, N, H),
+    )
+
+
+def _reference_layer(**kw):
+    def step(h, xs):
+        h_new, _ = _atgru_step_forward(
+            h, xs, kw["supports"], kw["wg_h"], kw["wu_h"], kw["bg"], kw["bu"],
+            kw["rg_h"], kw["ru_h"], kw["rg_b"], kw["ru_b"]
+        )
+        return h_new, h_new
+
+    _, states = jax.lax.scan(
+        step, kw["state0"], (kw["gate_x"], kw["upd_x"], kw["rg_x"], kw["ru_x"], kw["w_seq"])
+    )
+    return states
+
+
+ARG_ORDER = ("gate_x", "upd_x", "rg_x", "ru_x", "w_seq", "supports", "wg_h",
+             "wu_h", "bg", "bu", "rg_h", "ru_h", "rg_b", "ru_b", "state0")
+
+
+def test_forward_matches(rng):
+    kw = _inputs(rng)
+    got = fused_atgru_layer(None, *[kw[k] for k in ARG_ORDER])
+    want = _reference_layer(**kw)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
+
+
+def test_bf16_compute_dtype_close(rng):
+    kw = _inputs(rng)
+    got = fused_atgru_layer(jnp.bfloat16, *[kw[k] for k in ARG_ORDER])
+    want = _reference_layer(**kw)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=0.05, rtol=0.05)
+
+    def loss(args):
+        return jnp.mean(jnp.square(fused_atgru_layer(jnp.bfloat16, *args)))
+
+    g = jax.grad(loss)(tuple(kw[k] for k in ARG_ORDER))
+    for k, a in zip(ARG_ORDER, g):
+        assert np.isfinite(np.asarray(a, np.float32)).all(), k
+
+
+def test_all_gradients_match_autodiff(rng):
+    kw = _inputs(rng)
+    keys = ("gate_x", "upd_x", "rg_x", "ru_x", "w_seq", "supports", "wg_h",
+            "wu_h", "bg", "bu", "rg_h", "ru_h", "rg_b", "ru_b", "state0")
+    # weight the output so every cotangent position is distinct
+    wts = jnp.asarray(rng.normal(size=(T, B, N, H)).astype(np.float32))
+
+    def loss_fused(args):
+        return jnp.sum(fused_atgru_layer(None, *args) * wts)
+
+    def loss_ref(args):
+        return jnp.sum(_reference_layer(**dict(zip(keys, args))) * wts)
+
+    args = tuple(kw[k] for k in keys)
+    v1, g1 = jax.value_and_grad(loss_fused)(args)
+    v2, g2 = jax.value_and_grad(loss_ref)(args)
+    np.testing.assert_allclose(float(v1), float(v2), rtol=1e-6)
+    for k, a, b in zip(keys, g1, g2):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-5, rtol=2e-4,
+            err_msg="gradient mismatch for {}".format(k),
+        )
+
+
+def _tiny_model_setup(_unused, fused):
+    import pandas as pd
+
+    rng = np.random.default_rng(5)  # identical build-time constants per call
+    n = 6
+    adj = np.abs(rng.normal(size=(n, n))).astype(np.float32)
+    geo = pd.DataFrame({
+        "geo_id": np.arange(n), "type": "Point",
+        "coordinates": ["[{:.4f}, {:.4f}]".format(-77 + 0.01 * i, 38.9) for i in range(n)],
+    })
+    feature = {
+        "num_nodes": n, "adj_mx": adj, "static": rng.normal(size=(n, 4)),
+        "coordinate": geo, "ext_dim": 1, "output_dim": 1,
+        "len_closeness": 24, "len_period": 24, "len_trend": 24, "scaler": None,
+    }
+    config = {
+        "input_window": 24, "output_window": 6, "start_dim": 0, "end_dim": 1,
+        "rnn_units": 4, "num_layers": 2, "cheb_order": 2,
+        "embed_dim_node": 3, "embed_dim_adj": 3,
+        "adjtype": "multi", "adpadj": "bidirection",
+        "add_time_in_day": True, "load_dynamic": False,
+        "fused_bptt": fused,
+    }
+    return build_multi_atgcn(config, feature), feature
+
+
+def test_full_model_identical_with_and_without_fusion(rng):
+    m_fused, _ = _tiny_model_setup(rng, True)
+    m_plain, _ = _tiny_model_setup(rng, False)
+    x = jnp.asarray(rng.normal(size=(2, 72, 6, 2)).astype(np.float32))
+    y = jnp.abs(jnp.asarray(rng.normal(size=(2, 6, 6, 2)).astype(np.float32)))
+    params = m_fused.init(jax.random.PRNGKey(0), x, train=False)
+
+    class _Scaler:
+        def inverse_transform(self, v):
+            return v * 2.0 + 1.0
+
+    lf_fused = make_loss_fn(m_fused, _Scaler())
+    lf_plain = make_loss_fn(m_plain, _Scaler())
+    batch = {"X": x, "y": y}
+    v1, g1 = jax.value_and_grad(lambda p: lf_fused(p, batch, train=False))(params)
+    v2, g2 = jax.value_and_grad(lambda p: lf_plain(p, batch, train=False))(params)
+    np.testing.assert_allclose(float(v1), float(v2), rtol=1e-6)
+    key = lambda item: jax.tree_util.keystr(item[0])  # noqa: E731
+    for (k1, a), (k2, b) in zip(
+        sorted(jax.tree_util.tree_leaves_with_path(g1), key=key),
+        sorted(jax.tree_util.tree_leaves_with_path(g2), key=key),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-5, rtol=2e-4,
+            err_msg="model grad mismatch at {}".format(jax.tree_util.keystr(k1)),
+        )

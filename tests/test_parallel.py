@@ -72,3 +72,15 @@ def test_dp_step_matches_single_device():
     l2 = jax.tree_util.tree_leaves(p2)
     for a, b in zip(l1, l2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_initialize_distributed_single_host_noop():
+    """Single host, no coordinator info -> no-op returning False (the
+    multi-host path needs a real pod; this guards the wiring)."""
+    import os
+
+    from multistgraph_tpu.parallel.launch import initialize_distributed
+
+    for var in ("JAX_COORDINATOR_ADDRESS", "JAX_NUM_PROCESSES", "JAX_PROCESS_ID"):
+        assert var not in os.environ or os.environ.pop(var)
+    assert initialize_distributed() is False

@@ -92,3 +92,123 @@ def test_quickstart_notebook_valid():
     assert any("run_model" in s for s in srcs)
     for s in srcs:
         compile(s, "<nb>", "exec")  # cells are valid python
+
+
+def test_visualizer_full_dispatch(tmp_path):
+    """VisHelper-parity coverage: state, grid and trajectory GeoJSON
+    conversion (ref libcity/utils/visualize.py:7-223)."""
+    import json as _json
+
+    import pandas as pd
+
+    from multistgraph_tpu.utils.visualize import (
+        dataset_to_geojson,
+        grid_to_geojson,
+        trajectory_to_geojson,
+    )
+
+    # --- state dataset (Point nodes + dyna means) through the dispatcher
+    root = tmp_path / "raw" / "VIZ_STATE"
+    root.mkdir(parents=True)
+    pd.DataFrame({
+        "geo_id": [1, 2], "type": ["Point", "Point"],
+        "coordinates": ["[-77.0, 38.9]", "[-77.1, 38.8]"], "poi": [3, 4],
+    }).to_csv(root / "VIZ_STATE.geo", index=False)
+    pd.DataFrame({
+        "dyna_id": range(4), "type": ["state"] * 4,
+        "time": ["2019-01-01T00:00:00Z"] * 2 + ["2019-01-01T01:00:00Z"] * 2,
+        "entity_id": [1, 2, 1, 2], "Visits": [1.0, 2.0, 3.0, 4.0],
+    }).to_csv(root / "VIZ_STATE.dyna", index=False)
+    (root / "config.json").write_text(_json.dumps(
+        {"dyna": {"including_types": ["state"]}}
+    ))
+    out_dir = tmp_path / "viz"
+    cols = dataset_to_geojson(str(tmp_path / "raw"), "VIZ_STATE", str(out_dir))
+    assert len(cols) == 1
+    feats = cols[0]["features"]
+    assert feats[0]["properties"]["Visits"] == 2.0  # mean of 1, 3
+    assert feats[0]["properties"]["poi"] == 3.0
+    assert (out_dir / "VIZ_STATE_dyna.json").exists()
+
+    # --- grid dataset (Polygon cells + grid means)
+    groot = tmp_path / "raw" / "VIZ_GRID"
+    groot.mkdir(parents=True)
+    pd.DataFrame({
+        "geo_id": [0, 1], "type": ["Polygon", "Polygon"],
+        "coordinates": ["[[[0,0],[0,1],[1,1],[1,0],[0,0]]]"] * 2,
+        "row_id": [0, 0], "column_id": [0, 1],
+    }).to_csv(groot / "VIZ_GRID.geo", index=False)
+    pd.DataFrame({
+        "dyna_id": range(4), "type": ["state"] * 4,
+        "time": ["2019-01-01T00:00:00Z"] * 2 + ["2019-01-01T01:00:00Z"] * 2,
+        "row_id": [0, 0, 0, 0], "column_id": [0, 1, 0, 1],
+        "inflow": [1.0, 10.0, 3.0, 20.0],
+    }).to_csv(groot / "VIZ_GRID.grid", index=False)
+    col = grid_to_geojson(str(groot / "VIZ_GRID.geo"), str(groot / "VIZ_GRID.grid"))
+    assert col["features"][1]["properties"]["inflow"] == 15.0
+    assert col["features"][0]["geometry"]["type"] == "Polygon"
+
+    # --- GPS trajectory (LineString per entity/traj)
+    troot = tmp_path / "raw" / "VIZ_TRAJ"
+    troot.mkdir(parents=True)
+    pd.DataFrame({
+        "dyna_id": range(4), "type": ["trajectory"] * 4,
+        "time": ["2019-01-01T00:00:00Z"] * 4,
+        "entity_id": [7, 7, 7, 7], "traj_id": [0, 0, 1, 1],
+        "coordinates": ["[0.0, 0.0]", "[1.0, 1.0]", "[2.0, 2.0]", "[3.0, 3.0]"],
+    }).to_csv(troot / "VIZ_TRAJ.dyna", index=False)
+    col = trajectory_to_geojson(str(troot / "VIZ_TRAJ.dyna"))
+    assert len(col["features"]) == 2
+    assert col["features"][0]["geometry"] == {
+        "type": "LineString", "coordinates": [[0.0, 0.0], [1.0, 1.0]]
+    }
+
+
+def test_plot_families_s_small_params_ablation(tmp_path):
+    """The three remaining reference figure families (result_plot.py:194-269)."""
+    import numpy as np
+    import pandas as pd
+
+    sys_path_hack = str(tmp_path)
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "plot_results", "tools/plot_results.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    rng = np.random.default_rng(0)
+    n = 400
+    trans = pd.DataFrame({
+        "ahead_step": rng.integers(0, 3, n),
+        "truth_t": rng.uniform(0, 50, n),
+        "prediction_t": rng.uniform(0, 50, n),
+    })
+    pkl = tmp_path / "t.pkl"
+    trans.to_pickle(pkl)
+    df = mod.plot_s_small(str(pkl), out=str(tmp_path / "s.png"))
+    assert (tmp_path / "s.png").exists()
+    assert set(df["s_small"]) == set([1e-4] + list(range(1, 11)))
+    # stricter filters keep larger truths -> MAPE must not increase
+    mape = df.groupby("s_small")["MAPE"].mean()
+    assert mape.loc[10] <= mape.loc[1e-4]
+
+    sweep = pd.DataFrame({
+        "value": [1, 1, 2, 2, 4, 4], "seed": [0, 1] * 3,
+        "MAE": [3.0, 3.2, 2.0, 2.1, 2.5, 2.6],
+    })
+    sweep_csv = tmp_path / "sweep.csv"
+    sweep.to_csv(sweep_csv, index=False)
+    agg = mod.plot_params(str(sweep_csv), out=str(tmp_path / "p.png"))
+    assert (tmp_path / "p.png").exists()
+    assert float(agg.loc[agg["value"] == 2, "mean"].iloc[0]) == 2.05
+
+    abl = pd.DataFrame({
+        "label": ["full", "no_gcn", "no_3tu"], "MAE": [2.0, 2.4, 2.2],
+    })
+    abl_csv = tmp_path / "abl.csv"
+    abl.to_csv(abl_csv, index=False)
+    change = mod.plot_ablation(str(abl_csv), reference="full", out=str(tmp_path / "a.png"))
+    assert (tmp_path / "a.png").exists()
+    assert abs(change["no_gcn"] - 20.0) < 1e-6

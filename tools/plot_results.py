@@ -1,13 +1,25 @@
-"""Result figures (ref: result_plot.py:30-270).
+"""Result figures (ref: result_plot.py:30-270) — all five paper families:
 
-Two figure families from run artifacts:
-  * prediction-vs-truth time series for the best/worst-MAE nodes, from a
-    *_predictions.npz (group-destandardized when a .gbst table is given);
-  * per-horizon metric curves across models, from aggregate_results output.
+  * timeseries — prediction-vs-truth series for the best/worst-MAE nodes,
+    from a *_predictions.npz (group-destandardized with a .gbst table)
+    (ref :100-189 topbott figures);
+  * horizons  — per-horizon metric curves across models, from
+    aggregate_results output (ref :203-225);
+  * s-small   — metric sensitivity to the small-truth filter threshold
+    s_small in {1e-4, 1..10} per horizon, from a *_predictions_trans.pkl
+    (ref :194-225 metrics_by_steps_small_unit);
+  * params    — parameter-study curves (metric vs swept value, mean ± std
+    over seeds) from a CSV with columns value,<metric>[,seed] (ref :228-246
+    para_test);
+  * ablation  — %-change bars of ablation variants vs a reference label,
+    from a CSV with columns label,<metric> (ref :249-269 aba_test).
 
 Usage:
     python tools/plot_results.py timeseries <predictions.npz> [--gbst file.gbst] [--out fig.png]
     python tools/plot_results.py horizons <summary.csv> [--metric MAE_mean] [--out fig.png]
+    python tools/plot_results.py s-small <predictions_trans.pkl> [--out fig.png]
+    python tools/plot_results.py params <sweep.csv> [--metric MAE] [--xlabel lr] [--out fig.png]
+    python tools/plot_results.py ablation <ablations.csv> [--metric MAE] [--reference full] [--out fig.png]
 """
 
 import argparse
@@ -69,6 +81,82 @@ def plot_horizons(summary_csv: str, metric: str = "MAE_mean", out: str = "horizo
     print("wrote", out, file=sys.stderr)
 
 
+def plot_s_small(trans_pkl: str, out: str = "s_small.png"):
+    """Metric sensitivity to the truth>s_small filter (ref :194-225): the
+    paper's headline protocol filters tiny truths at s_small=10; this shows
+    MAE/RMSE/MAPE per horizon as the threshold sweeps 1e-4..10."""
+    table = pd.read_pickle(trans_pkl)
+    thresholds = [1e-4] + list(range(1, 11))
+    metrics = ("MAE", "RMSE", "MAPE")
+    rows = []
+    for s_small in thresholds:
+        for rr in sorted(table["ahead_step"].unique()):
+            sel = (table["ahead_step"] == rr) & (table["truth_t"] > s_small)
+            pr = np.maximum(table.loc[sel, "prediction_t"].to_numpy(), 0.0)
+            tr = table.loc[sel, "truth_t"].to_numpy()
+            if not len(tr):
+                continue
+            diff = pr - tr
+            rows.append({
+                "s_small": s_small, "index": rr,
+                "MAE": float(np.abs(diff).mean()),
+                "RMSE": float(np.sqrt((diff ** 2).mean())),
+                "MAPE": float(np.abs(diff / tr).mean()),
+            })
+    df = pd.DataFrame(rows)
+    fig, axes = plt.subplots(len(metrics), 1, figsize=(7, 7), sharex=True)
+    for ax, metric in zip(axes, metrics):
+        for s_small, grp in df.groupby("s_small"):
+            grp = grp.sort_values("index")
+            ax.plot(grp["index"] + 1, grp[metric], lw=0.9,
+                    label="s_small={:g}".format(s_small))
+        ax.set_ylabel(metric)
+    axes[0].legend(fontsize=6, ncol=3)
+    axes[-1].set_xlabel("ahead step")
+    fig.suptitle("metric sensitivity to the small-truth filter")
+    fig.tight_layout()
+    fig.savefig(out, dpi=120)
+    print("wrote", out, file=sys.stderr)
+    return df
+
+
+def plot_params(sweep_csv: str, metric: str = "MAE", xlabel: str = "value",
+                out: str = "params.png"):
+    """Parameter-study curve: metric vs swept value, mean ± std over seeds
+    (ref :228-246). CSV columns: value,<metric>[,seed]."""
+    df = pd.read_csv(sweep_csv)
+    agg = df.groupby("value")[metric].agg(["mean", "std"]).reset_index()
+    fig, ax = plt.subplots(figsize=(5, 3.5))
+    ax.errorbar(agg["value"], agg["mean"], yerr=agg["std"].fillna(0.0),
+                marker="o", capsize=3)
+    ax.set_xlabel(xlabel)
+    ax.set_ylabel(metric)
+    fig.tight_layout()
+    fig.savefig(out, dpi=120)
+    print("wrote", out, file=sys.stderr)
+    return agg
+
+
+def plot_ablation(abl_csv: str, metric: str = "MAE", reference: str = "full",
+                  out: str = "ablation.png"):
+    """Ablation bars: % change of each variant vs the reference label
+    (ref :249-269). CSV columns: label,<metric>."""
+    df = pd.read_csv(abl_csv)
+    base = float(df.loc[df["label"] == reference, metric].mean())
+    rest = df[df["label"] != reference].groupby("label")[metric].mean()
+    change = 100.0 * (rest - base) / base
+    fig, ax = plt.subplots(figsize=(6, 3.5))
+    colors = ["#c44" if v > 0 else "#4a4" for v in change]
+    ax.bar(change.index, change.to_numpy(), color=colors)
+    ax.axhline(0, color="k", lw=0.8)
+    ax.set_ylabel("Change (%) in {} vs {}".format(metric, reference))
+    ax.tick_params(axis="x", rotation=30)
+    fig.tight_layout()
+    fig.savefig(out, dpi=120)
+    print("wrote", out, file=sys.stderr)
+    return change
+
+
 if __name__ == "__main__":
     parser = argparse.ArgumentParser()
     sub = parser.add_subparsers(dest="cmd", required=True)
@@ -81,8 +169,27 @@ if __name__ == "__main__":
     hz.add_argument("summary")
     hz.add_argument("--metric", default="MAE_mean")
     hz.add_argument("--out", default="horizons.png")
+    ss = sub.add_parser("s-small")
+    ss.add_argument("trans_pkl")
+    ss.add_argument("--out", default="s_small.png")
+    pr = sub.add_parser("params")
+    pr.add_argument("sweep")
+    pr.add_argument("--metric", default="MAE")
+    pr.add_argument("--xlabel", default="value")
+    pr.add_argument("--out", default="params.png")
+    ab = sub.add_parser("ablation")
+    ab.add_argument("ablations")
+    ab.add_argument("--metric", default="MAE")
+    ab.add_argument("--reference", default="full")
+    ab.add_argument("--out", default="ablation.png")
     args = parser.parse_args()
     if args.cmd == "timeseries":
         plot_timeseries(args.npz, args.gbst, args.out, args.k)
-    else:
+    elif args.cmd == "horizons":
         plot_horizons(args.summary, args.metric, args.out)
+    elif args.cmd == "s-small":
+        plot_s_small(args.trans_pkl, args.out)
+    elif args.cmd == "params":
+        plot_params(args.sweep, args.metric, args.xlabel, args.out)
+    else:
+        plot_ablation(args.ablations, args.metric, args.reference, args.out)

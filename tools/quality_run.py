@@ -1,20 +1,27 @@
-"""Full-protocol quality run on the DC-237-shaped synthetic dataset.
+"""Full-protocol quality sweep on the DC-237/BM-403-shaped synthetic data.
 
-Trains MultiATGCN with the reference's exact protocol (Adam 3e-3, x0.75 decay
-at epochs {5,10,20,30}, grad-clip 5, batch 16, early stop patience 6, 30
-epochs, standard scaler, 24h->24h with 2/1/1 closeness/period/trend heads)
-and reports per-horizon masked MAE/RMSE/MAPE against two naive baselines
-computed on the same test windows:
+The reference's evaluation protocol (Implementation details.pdf p.1-2,
+result_convert.py:19-160): every model trained with the same recipe (Adam
+3e-3, x0.75 decay at epochs {5,10,20,30}, grad-clip 5, batch 16, <=30 epochs,
+early stop patience 6), seeds {0,10,100,1000}, per-horizon group-retransformed
+metrics, mean +/- std over seeds, %-improvement vs MultiATGCN.
 
-  * persistence — predict the last observed closeness step for every horizon;
-  * seasonal    — predict the value 24h before the target step (same hour
-    yesterday, i.e. the matching step of the last closeness block).
+This driver runs the whole comparison IN ONE PROCESS (the remote compile
+service dedupes identical programs, so seeds 2..4 of each model skip the
+~minutes-long epoch-program compile), writes each run's *_trans.csv through
+the ordinary executor.evaluate path, adds persistence/seasonal naive rows,
+then aggregates with tools/aggregate_results.py into docs/RESULTS_<ds>.md.
 
-Writes docs/RESULTS.md. The reference's raw data is unavailable (missing
-blobs), so absolute numbers are synthetic-data-specific; the baselines ground
-them.
+Models: MultiATGCN (full), MultiATGCN-C (closeness-only ablation: no
+period/trend heads -> quantifies the 3TU machinery), GRU, LSTM, FNN, Seq2Seq.
+
+Usage:
+    python tools/quality_run.py dc [--seeds 0,10,100,1000] [--max_epoch 30]
+                                   [--models MultiATGCN,GRU,...]
 """
 
+import argparse
+import datetime
 import os
 import sys
 import time
@@ -22,24 +29,16 @@ import time
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 
 import numpy as np
+import pandas as pd
 
 from multistgraph_tpu.config import load_config
 from multistgraph_tpu.data import get_dataset
 from multistgraph_tpu.data.synthetic import make_synthetic_dataset
 from multistgraph_tpu.executor import get_executor
 from multistgraph_tpu.models import get_model
-from multistgraph_tpu.ops import losses
+from multistgraph_tpu.utils import set_random_seed
 
 ROOT = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..")
-
-
-def masked_metrics(pred, true):
-    return (
-        float(losses.masked_mae(pred, true, 0.0)),
-        float(losses.masked_rmse(pred, true, 0.0)),
-        float(losses.masked_mape(pred, true, 0.0)),
-    )
-
 
 SHAPES = {
     # README.md:44-53 dataset statistics for DC and Baltimore
@@ -49,23 +48,24 @@ SHAPES = {
                output_window=12),
 }
 
+# label -> (registered model name, config overrides)
+MODEL_VARIANTS = {
+    "MultiATGCN": ("MultiATGCN", {}),
+    # closeness-only ablation: the 3TU period/trend heads are removed, so the
+    # margin vs the full model measures what multi-temporal fusion buys
+    "MultiATGCN-C": ("MultiATGCN", {"len_period": 0, "len_trend": 0}),
+    "GRU": ("GRU", {"use_3tu": False}),
+    "LSTM": ("LSTM", {"use_3tu": False}),
+    "FNN": ("FNN", {"use_3tu": False}),
+    "Seq2Seq": ("Seq2Seq", {"use_3tu": False}),
+}
 
-def main():
-    shape = SHAPES[sys.argv[1] if len(sys.argv) > 1 else "dc"]
-    max_epoch = int(sys.argv[2]) if len(sys.argv) > 2 else 30
-    bench_root = os.path.join(ROOT, "outputs", "bench")
-    raw_dir = os.path.join(bench_root, "raw_data")
-    ds_name = shape["name"]
-    if not os.path.exists(os.path.join(raw_dir, ds_name, "config.json")):
-        make_synthetic_dataset(
-            raw_dir, ds_name, num_nodes=shape["num_nodes"], len_time=24 * 151,
-            node_mean=shape["node_mean"], node_std=shape["node_std"], seed=42,
-        )
-    args = {
-        "data_dir": raw_dir,
+
+def _base_args(shape, bench_root, max_epoch):
+    return {
+        "data_dir": os.path.join(bench_root, "raw_data"),
         "cache_dir": os.path.join(bench_root, "dataset_cache"),
         "output_dir": os.path.join(bench_root, "outputs"),
-        "exp_id": "quality_" + ds_name,
         "input_window": 24, "output_window": shape["output_window"],
         "len_closeness": 2, "len_period": 1, "len_trend": 1,
         "interval_period": 7, "interval_trend": 28,
@@ -74,73 +74,140 @@ def main():
         "adjtype": "multi", "adpadj": "bidirection",
         "batch_size": 16, "train_rate": 0.7, "eval_rate": 0.15,
         "max_epoch": max_epoch, "use_early_stop": True, "patience": 6,
-        "seed": 0,
+        "tensorboard": False,
     }
-    config = load_config("traffic_state_pred", "MultiATGCN", ds_name, other_args=args)
-    dataset = get_dataset(config)
-    train_loader, val_loader, test_loader = dataset.get_data()
-    feature = dataset.get_data_feature()
-    model = get_model(config, feature)
-    executor = get_executor(config, model, feature)
 
-    t0 = time.time()
-    best_val = executor.train(train_loader, val_loader)
-    train_s = time.time() - t0
-    print("trained: best val {:.4f} in {:.1f}s".format(best_val, train_s), file=sys.stderr)
-    executor.evaluate(test_loader)
 
-    # Model predictions on the test set (scaled space -> inverse transformed).
+def _naive_trans_tables(shape, config, dataset, test_loader, out_dir, seed):
+    """persistence + seasonal naive predictions through the same
+    group-retransform metric protocol, written as *_trans.csv rows."""
     import jax.numpy as jnp
 
-    perm = jnp.asarray(test_loader.ordered_permutation())
-    pred = np.asarray(executor._predict_scan(executor.params, test_loader.x, perm))
-    x_test = np.asarray(jnp.take(test_loader.x, perm.reshape(-1), axis=0))
-    y_test = np.asarray(jnp.take(test_loader.y, perm.reshape(-1), axis=0))
-    scaler = feature["scaler"]
+    scaler = dataset.get_data_feature()["scaler"]
+    mstd = dataset.get_data_feature()["ct_visit_mstd"]
+    perm = test_loader.ordered_permutation().reshape(-1)
+    x = np.asarray(jnp.take(test_loader.x, jnp.asarray(perm), axis=0))
+    y = np.asarray(jnp.take(test_loader.y, jnp.asarray(perm), axis=0))
     tout = shape["output_window"]
-    truth = scaler.inverse_transform(y_test[:, :tout, :, 0:1])
-    model_pred = scaler.inverse_transform(pred)
+    len_c = dataset.get_data_feature()["len_closeness"]
+    truth = scaler.inverse_transform(y[:, :tout, :, 0:1])
+    naives = {
+        "persistence": np.broadcast_to(
+            scaler.inverse_transform(x[:, len_c - 1 : len_c, :, 0:1]), truth.shape
+        ),
+        "seasonal": scaler.inverse_transform(x[:, len_c - 24 : len_c - 24 + tout, :, 0:1]),
+    }
+    all_m = mstd["All_m"].to_numpy()[None, None, :, None]
+    all_s = mstd["All_std"].to_numpy()[None, None, :, None]
+    truth_t = truth * all_s + all_m
+    for label, pred in naives.items():
+        pred_t = np.maximum(pred * all_s + all_m, 0.0)
+        rows = []
+        for rr in range(tout):
+            keep = truth_t[:, rr] > 10.0
+            pr, tr = pred_t[:, rr][keep], truth_t[:, rr][keep]
+            diff = pr - tr
+            mae = float(np.abs(diff).mean())
+            mse = float((diff ** 2).mean())
+            r2 = float(1.0 - (diff ** 2).sum() / ((pr - pr.mean()) ** 2).sum())
+            evar = float(1.0 - np.var(tr - pr) / np.var(pr))
+            rows.append([label, rr, datetime.datetime.now(), mae, mse,
+                         float(np.sqrt(mse)), r2, evar, float(np.abs(diff / tr).mean())])
+        frame = pd.DataFrame(rows, columns=["Model_name", "index", "Model_time",
+                                            "MAE", "MSE", "RMSE", "R2", "EVAR", "MAPE"])
+        run_dir = os.path.join(
+            out_dir, "q_{}_{}_s{}".format(config.get("dataset"), label, seed), "evaluate_cache"
+        )
+        os.makedirs(run_dir, exist_ok=True)
+        frame.to_csv(os.path.join(run_dir, "{}_{}_trans.csv".format(label, seed)))
 
-    len_c = feature["len_closeness"]
-    last_step = scaler.inverse_transform(x_test[:, len_c - 1 : len_c, :, 0:1])
-    persistence = np.broadcast_to(last_step, truth.shape)
-    seasonal = scaler.inverse_transform(x_test[:, len_c - 24 : len_c - 24 + tout, :, 0:1])
 
-    horizons = [h for h in (3, 6, 12, 24) if h <= tout]
-    rows = []
-    for h in horizons:
-        row = {"horizon": h}
-        for name, p in (("MultiATGCN", model_pred), ("persistence", persistence), ("seasonal", seasonal)):
-            mae, rmse, mape = masked_metrics(p[:, :h], truth[:, :h])
-            row[name] = (mae, rmse, mape)
-        rows.append(row)
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("shape", choices=list(SHAPES), nargs="?", default="dc")
+    ap.add_argument("--seeds", default="0,10,100,1000")
+    ap.add_argument("--max_epoch", type=int, default=30)
+    ap.add_argument("--models", default=",".join(MODEL_VARIANTS))
+    args = ap.parse_args()
+
+    shape = SHAPES[args.shape]
+    seeds = [int(s) for s in args.seeds.split(",")]
+    bench_root = os.path.join(ROOT, "outputs", "bench_quality")
+    raw_dir = os.path.join(bench_root, "raw_data")
+    ds_name = shape["name"]
+    if not os.path.exists(os.path.join(raw_dir, ds_name, "config.json")):
+        make_synthetic_dataset(
+            raw_dir, ds_name, num_nodes=shape["num_nodes"], len_time=24 * 151,
+            node_mean=shape["node_mean"], node_std=shape["node_std"], seed=42,
+        )
+
+    wall = {}
+    for label in args.models.split(","):
+        model_name, overrides = MODEL_VARIANTS[label]
+        for seed in seeds:
+            run_args = _base_args(shape, bench_root, args.max_epoch)
+            run_args.update(overrides)
+            run_args["exp_id"] = "q_{}_{}_s{}".format(ds_name, label, seed)
+            run_args["seed"] = seed
+            config = load_config("traffic_state_pred", model_name, ds_name,
+                                 other_args=run_args)
+            set_random_seed(seed)
+            dataset = get_dataset(config)
+            train_loader, val_loader, test_loader = dataset.get_data()
+            feature = dataset.get_data_feature()
+            model = get_model(config, feature)
+            config["model"] = label  # distinct Model_name for the ablation rows
+            executor = get_executor(config, model, feature)
+            t0 = time.time()
+            best = executor.train(train_loader, val_loader)
+            wall[(label, seed)] = time.time() - t0
+            print("[{} seed {}] best val {:.4f} in {:.0f}s".format(
+                label, seed, best, wall[(label, seed)]), file=sys.stderr, flush=True)
+            executor.evaluate(test_loader)
+            if label == "MultiATGCN":
+                _naive_trans_tables(shape, config, dataset, test_loader,
+                                    os.path.join(bench_root, "outputs"), seed)
+
+    # aggregate into the paper-style comparison table
+    sys.path.insert(0, os.path.join(ROOT, "tools"))
+    from aggregate_results import add_improvement, collect_trans_tables, summarize
+
+    table = collect_trans_tables(os.path.join(bench_root, "outputs"))
+    table = table[table["run"].str.startswith("q_" + ds_name)]
+    horizons = [h for h in (3, 6, 12, 24) if h <= shape["output_window"]]
+    summary = add_improvement(summarize(table, horizons), "MultiATGCN")
 
     lines = [
-        "# RESULTS — full-protocol quality run ({})".format(ds_name),
+        "# RESULTS — full-protocol comparison ({})".format(ds_name),
         "",
         "Protocol: reference training recipe (Adam 3e-3, multistep x0.75 @ {5,10,20,30},",
-        "clip 5, batch 16, <=30 epochs, early stop patience 6), full multi-view graph +",
-        "bidirectional adaptive adjacency + static features, 96-step MTH input, 24h horizon.",
-        "Data: statistically-matched synthetic DC (237 nodes, 151 days; the reference's",
-        "raw archives are missing blobs). Metrics: masked (null=0) on destandardized values,",
-        "cumulative over the first h steps. Baselines computed on identical test windows.",
+        "clip 5, batch 16, <={} epochs, early stop patience 6), seeds {};".format(
+            args.max_epoch, seeds),
+        "group-retransformed metrics (truth>10 filter), cumulative over the first h steps;",
+        "mean +/- std over seeds. Data: statistically-matched synthetic {} (237/403-node".format(ds_name),
+        "shape, daily/weekly/trend structure + OD-correlated AR dynamics; the reference's",
+        "raw archives are missing blobs). MultiATGCN-C = closeness-only ablation (no 3TU).",
         "",
-        "best val loss: {:.4f} | train wall: {:.0f}s on 1 TPU chip".format(best_val, train_s),
-        "",
-        "| horizon | MultiATGCN MAE | RMSE | MAPE | persistence MAE | RMSE | MAPE | seasonal MAE | RMSE | MAPE |",
-        "|---|---|---|---|---|---|---|---|---|---|",
+        "| model | horizon | MAE | RMSE | MAPE | vs MultiATGCN MAE |",
+        "|---|---|---|---|---|---|",
     ]
-    for row in rows:
-        m, p, s = row["MultiATGCN"], row["persistence"], row["seasonal"]
-        lines.append(
-            "| {}h | {:.3f} | {:.3f} | {:.3f} | {:.3f} | {:.3f} | {:.3f} | {:.3f} | {:.3f} | {:.3f} |".format(
-                row["horizon"], *m, *p, *s
-            )
-        )
+    for _, row in summary.iterrows():
+        imp = row.get("MAE_vs_ref_pct", float("nan"))
+        lines.append("| {} | {}h | {:.3f} ± {:.3f} | {:.3f} ± {:.3f} | {:.3f} | {} |".format(
+            row["Model_name"], int(row["horizon"]),
+            row["MAE_mean"], 0.0 if np.isnan(row["MAE_std"]) else row["MAE_std"],
+            row["RMSE_mean"], 0.0 if np.isnan(row["RMSE_std"]) else row["RMSE_std"],
+            row["MAPE_mean"],
+            "—" if np.isnan(imp) else "{:+.1f}%".format(imp),
+        ))
+    lines.append("")
+    lines.append("train wall per run (s): " + ", ".join(
+        "{} s{}: {:.0f}".format(l, s, w) for (l, s), w in wall.items()))
     os.makedirs(os.path.join(ROOT, "docs"), exist_ok=True)
     out = os.path.join(ROOT, "docs", "RESULTS_{}.md".format(ds_name))
     with open(out, "w") as f:
         f.write("\n".join(lines) + "\n")
+    summary.to_csv(os.path.join(ROOT, "docs", "RESULTS_{}_summary.csv".format(ds_name)))
     print("\n".join(lines))
 
 
