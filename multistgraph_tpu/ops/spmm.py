@@ -112,6 +112,22 @@ def _sampled_matmul_impl(a, b, row_of, col_of, block: int, interpret: bool):
     )(row_of, col_of, a, b)
 
 
+def spmm_jax(values, row_of, col_of, x, block: int = 128, out_blocks=None):
+    """Pure-jax BSR SpMM (gather + batched matmul + segment_sum).
+
+    Reference/fallback implementation of `spmm` for backends without Pallas
+    (CPU-compiled scaling benches, correctness cross-checks). Differentiable
+    through native ops; numerically identical to the Pallas kernel.
+    """
+    n_pad, feat = x.shape
+    nb = out_blocks if out_blocks is not None else n_pad // block
+    xb = x.reshape(-1, block, feat)
+    contrib = jnp.einsum(
+        "ebc,ecf->ebf", values, xb[col_of], preferred_element_type=jnp.float32
+    )
+    return jax.ops.segment_sum(contrib, row_of, num_segments=nb).reshape(nb * block, feat)
+
+
 def bsr_transpose(values, row_of, col_of, n_blocks: int):
     """Block-transpose: swap row/col, transpose tiles, re-sort row-major."""
     # int32 is ample: n_blocks^2 < 2^31 up to ~5.9M padded nodes

@@ -531,6 +531,24 @@ def hyper_parameter(
     return sorted(results.values(), key=lambda r: r.val_loss)
 
 
+def save_tuning_result(results: List[TrialResult], filename: str) -> None:
+    """Human-readable search summary (ref hyper_tuning.py:187-198
+    HyperTuning.save_result): best params + score, then every trial."""
+    best = results[0]
+    with open(filename, "w") as fp:
+        fp.write("best params: {}\n".format(best.params))
+        fp.write("best_valid_score: \n{}\n".format(best.val_loss))
+        fp.write("-" * 76 + "\n")
+        fp.write("All parameters tune and result: \n")
+        for r in results:
+            fp.write("{}\n".format(
+                ", ".join("{}:{}".format(k, v) for k, v in r.params.items())
+            ))
+            fp.write("Valid result:\n{} (epochs {}, rungs {})\n".format(
+                r.val_loss, r.epochs_run, r.rungs
+            ))
+
+
 def objective_function(
     task, model_name, dataset_name, config_file=None, base_args=None, hyper_config_dict=None,
     max_epoch=10,

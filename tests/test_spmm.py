@@ -201,3 +201,49 @@ def test_rcm_reorder_reduces_blocks_and_preserves_spmm(rng):
     ))
     y_back = invert_node_order(y_r, rcm.perm)
     np.testing.assert_allclose(y_back[:n], y_plain[:n], atol=1e-3, rtol=1e-3)
+
+
+def test_spmm_bf16_operands(rng):
+    """The Pallas kernels are dtype-polymorphic: bf16 tiles with f32
+    accumulation (preferred_element_type) — the 2x-bandwidth sparse mode."""
+    import jax.numpy as jnp
+
+    from multistgraph_tpu.ops import bsr
+    from multistgraph_tpu.ops.spmm import spmm as spmm_op
+
+    n = 512
+    dense = (rng.uniform(size=(n, n)) < 0.2).astype(np.float32) * rng.normal(
+        size=(n, n)
+    ).astype(np.float32)
+    g = bsr.bsr_from_dense(dense, block=128)
+    x = rng.normal(size=(n, 64)).astype(np.float32)
+    y32 = np.asarray(spmm_op(
+        jnp.asarray(g.values), jnp.asarray(g.row_of), jnp.asarray(g.col_of),
+        jnp.asarray(x), interpret=True,
+    ))
+    y16 = np.asarray(spmm_op(
+        jnp.asarray(g.values, jnp.bfloat16), jnp.asarray(g.row_of),
+        jnp.asarray(g.col_of), jnp.asarray(x, jnp.bfloat16), interpret=True,
+    ))
+    assert y16.dtype == np.float32  # accumulation stays f32
+    rel = np.abs(y16 - y32).max() / np.abs(y32).max()
+    assert rel < 0.02
+
+
+def test_spmm_jax_matches_pallas(rng):
+    import jax.numpy as jnp
+
+    from multistgraph_tpu.ops import bsr
+    from multistgraph_tpu.ops.spmm import spmm as spmm_op, spmm_jax
+
+    n = 384
+    dense = (rng.uniform(size=(n, n)) < 0.3).astype(np.float32) * rng.normal(
+        size=(n, n)
+    ).astype(np.float32)
+    g = bsr.bsr_from_dense(dense, block=128)
+    x = rng.normal(size=(n, 32)).astype(np.float32)
+    args = (jnp.asarray(g.values), jnp.asarray(g.row_of), jnp.asarray(g.col_of),
+            jnp.asarray(x))
+    y_pallas = np.asarray(spmm_op(*args, interpret=True))
+    y_jax = np.asarray(spmm_jax(*args))
+    np.testing.assert_allclose(y_jax, y_pallas, atol=1e-4, rtol=1e-4)

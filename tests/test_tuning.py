@@ -237,3 +237,17 @@ def test_bayes_mode_end_to_end(tune_env):
     assert len(results) == 4
     assert all(np.isfinite(r.val_loss) for r in results)
     assert all(1e-4 <= r.params["learning_rate"] <= 1e-2 for r in results)
+
+
+def test_save_tuning_result(tmp_path):
+    from multistgraph_tpu.parallel.tuning import TrialResult, save_tuning_result
+
+    results = [
+        TrialResult(0, {"lr": 0.003}, 0.5, 4, [0.9, 0.5], [(0, 2), (1, 4)], 3),
+        TrialResult(1, {"lr": 1e-5}, 0.9, 2, [1.0, 0.9], [(0, 2)], 1),
+    ]
+    out = tmp_path / "hyper.result"
+    save_tuning_result(results, str(out))
+    text = out.read_text()
+    assert "best params: {'lr': 0.003}" in text
+    assert "lr:1e-05" in text

@@ -73,6 +73,24 @@ def main():
         file=sys.stderr,
     )
 
+    # --- SpMM bf16 tiles (f32 accumulation) ---
+    values16 = values.astype(jnp.bfloat16)
+    x16 = x.astype(jnp.bfloat16)
+    y = spmm(values16, row_of, col_of, x16)
+    sync(y)
+    t0 = time.time()
+    for _ in range(iters):
+        y = spmm(values16, row_of, col_of, x16)
+    sync(y)
+    spmm16_s = (time.time() - t0) / iters
+    print(
+        "SpMM bf16: {:.3f} ms/iter ({:.2f}x vs f32, {:.0f} GFLOP/s)".format(
+            spmm16_s * 1e3, spmm_s / spmm16_s,
+            2 * graph.nnz_blocks * graph.block**2 * feat / spmm16_s / 1e9,
+        ),
+        file=sys.stderr,
+    )
+
     # --- SDDMM ---
     t0 = time.time()
     v2 = sddmm_relu(e1, e2, row_of, col_of)

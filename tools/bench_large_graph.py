@@ -87,6 +87,21 @@ def main():
         "step {:.3f}s | {:.3g} model edges/s | loss {:.4f}".format(step_s, edges_s, loss_val),
         file=sys.stderr,
     )
+    # Multi-chip partition stats (BASELINE config 5): the boundary-exchange
+    # plan is host-computed, so its communication volume is reportable even
+    # on a single attached chip (the exchange itself is validated on the
+    # 8-device virtual mesh, tests/test_sparse_dist.py).
+    from multistgraph_tpu.ops.spmm_boundary import partition_bsr_boundary
+
+    boundary = {}
+    for shards in (4, 8):
+        if graph.num_row_blocks % shards == 0:
+            plan = partition_bsr_boundary(graph, shards)
+            boundary["boundary_fraction_s{}".format(shards)] = round(
+                plan.boundary_fraction, 4
+            )
+    print("boundary fractions: {}".format(boundary), file=sys.stderr)
+
     print(json.dumps({
         "metric": "sparse_train_edges_per_second_50k",
         "value": round(edges_s),
@@ -98,6 +113,7 @@ def main():
             "nnz_edges": graph.nnz_edges,
             "nnz_blocks": graph.nnz_blocks,
             "device": jax.devices()[0].platform,
+            **boundary,
         },
     }))
 
