@@ -37,6 +37,7 @@ if __name__ == "__main__":
     args = parser.parse_args()
 
     base_args = collect_other_args(args, exclude=("parameter", "values", "seeds"))
+    rows = []
     for dataset in args.dataset:
         for value in args.values:
             for seed in args.seeds:
@@ -51,7 +52,7 @@ if __name__ == "__main__":
                         args.parameter, value, seed, dataset
                     )
                 )
-                run_model(
+                result = run_model(
                     task=args.task,
                     model_name=args.model,
                     dataset_name=dataset,
@@ -60,3 +61,19 @@ if __name__ == "__main__":
                     train=True,
                     other_args=other_args,
                 )
+                if result is not None and "masked_MAE" in result:
+                    rows.append({
+                        "dataset": dataset, "value": parse_value(value), "seed": seed,
+                        "MAE": float(result["masked_MAE"].mean()),
+                    })
+    if rows:
+        # parameter-curve CSV consumed by `tools/plot_results.py params`
+        import csv
+
+        out_dir = base_args.get("output_dir", "./outputs")
+        out = "{}/sweep_{}_{}.csv".format(out_dir, args.model, args.parameter)
+        with open(out, "w", newline="") as f:
+            writer = csv.DictWriter(f, fieldnames=["dataset", "value", "seed", "MAE"])
+            writer.writeheader()
+            writer.writerows(rows)
+        print("sweep summary written to", out)
