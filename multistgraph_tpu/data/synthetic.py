@@ -120,15 +120,53 @@ def make_synthetic_dataset(
         state_amp = phi_amp * state_amp + sig_amp * rng.normal(0, 1, num_nodes)
         ar[:, t] = state
         amp[:, t] = state_amp
+    # Hour-of-week profile that DRIFTS week to week (random walk): the best
+    # predictor of this component is the SAME HOUR LAST WEEK, which is
+    # exactly what the 7-day period head samples — so multi-temporal fusion
+    # measurably beats a closeness-only model. Smoothed over hours so it
+    # doesn't just raise the short-lag noise floor.
+    n_weeks = len_time // (24 * 7) + 2
+    kernel = np.exp(-0.5 * ((np.arange(-8, 9)) / 3.0) ** 2)
+    kernel /= kernel.sum()
+
+    def smooth168(a):
+        """Circular smoothing over the hour-of-week axis, renormalized to
+        unit variance (plain smoothing would shrink the component into the
+        noise floor)."""
+        ext = np.concatenate([a[..., -16:], a, a[..., :16]], axis=-1)
+        sm = np.apply_along_axis(lambda v: np.convolve(v, kernel, mode="same"), -1, ext)
+        sm = sm[..., 16:-16]
+        return sm / max(sm.std(), 1e-9)
+
+    # weekly AR(1) on the profile (phi=0.85): week-to-week correlation 0.85,
+    # 4-weeks 0.52 — same-hour-last-week stays the clearly better predictor
+    phi_w = 0.85
+
+    def how_innov():
+        # node-correlated like the AR innovations: half own, half OD-mixed,
+        # renormalized to unit variance (mixing averages variance away)
+        raw = smooth168(rng.normal(0, 1.0, (num_nodes, 168)))
+        mixed = 0.5 * raw + 0.5 * (w_od @ raw)
+        return mixed / max(mixed.std(), 1e-9)
+
+    profile = np.empty((n_weeks, num_nodes, 168))
+    profile[0] = how_innov()
+    for w in range(1, n_weeks):
+        profile[w] = phi_w * profile[w - 1] + np.sqrt(1 - phi_w**2) * how_innov()
+    week_idx = hours // 168
+    how_idx = hours % 168
+    how_comp = profile[week_idx, :, how_idx].T                # (N, T)
+
     noise = rng.normal(0, 0.15, (num_nodes, len_time))
     visits = np.maximum(
         means[:, None]
         + stds[:, None]
         * (
-            0.7 * daily * (1.0 + 0.4 * amp)
+            0.55 * daily * (1.0 + 0.4 * amp)
             + weekly
             + 0.5 * trend
-            + 0.8 * ar
+            + 0.6 * how_comp
+            + 0.7 * ar
             + noise
         ),
         0.0,

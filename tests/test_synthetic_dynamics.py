@@ -33,13 +33,16 @@ def test_persistence_error_grows_with_horizon(tmp_path):
 
 
 def test_seasonal_predictability_decays(tmp_path):
-    """Same-hour-yesterday error must be strictly smaller than same-hour
-    a-week-later error computed from 3 weeks back — i.e. the series has
-    medium-range stochastic memory, not just a fixed template."""
+    """Weekly seasonality dominates (same hour LAST WEEK beats same hour
+    yesterday — the drifting hour-of-week profile), and the weekly template
+    itself decays over a month — i.e. stochastic medium-range memory, not a
+    fixed template."""
     visits, _rel, _ = _series(tmp_path)
     day = np.abs(visits[:, 24:] - visits[:, :-24]).mean()
-    three_weeks = np.abs(visits[:, 21 * 24:] - visits[:, : -21 * 24]).mean()
-    assert day < three_weeks
+    week = np.abs(visits[:, 168:] - visits[:, :-168]).mean()
+    month = np.abs(visits[:, 4 * 168:] - visits[:, : -4 * 168]).mean()
+    assert week < day
+    assert week < 0.95 * month
 
 
 def test_neighbors_more_correlated_than_strangers(tmp_path):
@@ -65,3 +68,13 @@ def test_weekend_level_shift_present(tmp_path):
     times = pd.to_datetime(dyna["time"].iloc[:t].str.replace("Z", ""))
     weekend = (times.dt.dayofweek >= 5).to_numpy()
     assert visits[:, ~weekend].mean() > visits[:, weekend].mean() * 1.05
+
+
+def test_week_lag_beats_month_lag(tmp_path):
+    """The drifting hour-of-week profile makes same-hour-LAST-WEEK a
+    strictly better predictor than same-hour-4-weeks-ago — the signal the
+    7-day period head exists to exploit."""
+    visits, _rel, _ = _series(tmp_path)
+    week = np.abs(visits[:, 168:] - visits[:, :-168]).mean()
+    month = np.abs(visits[:, 4 * 168:] - visits[:, : -4 * 168]).mean()
+    assert week < 0.9 * month

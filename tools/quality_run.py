@@ -78,6 +78,46 @@ def _base_args(shape, bench_root, max_epoch):
     }
 
 
+def _trans_frame(pred, truth, mstd, label):
+    """The reference's group-retransform metric rows (clip negatives,
+    truth>10 filter, per-horizon), ref traffic_state_executor.py:292-322."""
+    all_m = mstd["All_m"].to_numpy()[None, None, :, None]
+    all_s = mstd["All_std"].to_numpy()[None, None, :, None]
+    truth_t = truth * all_s + all_m
+    pred_t = np.maximum(pred * all_s + all_m, 0.0)
+    rows = []
+    for rr in range(pred.shape[1]):
+        keep = truth_t[:, rr] > 10.0
+        pr, tr = pred_t[:, rr][keep], truth_t[:, rr][keep]
+        diff = pr - tr
+        mae = float(np.abs(diff).mean())
+        mse = float((diff ** 2).mean())
+        r2 = float(1.0 - (diff ** 2).sum() / ((pr - pr.mean()) ** 2).sum())
+        evar = float(1.0 - np.var(tr - pr) / np.var(pr))
+        rows.append([label, rr, datetime.datetime.now(), mae, mse,
+                     float(np.sqrt(mse)), r2, evar, float(np.abs(diff / tr).mean())])
+    return pd.DataFrame(rows, columns=["Model_name", "index", "Model_time",
+                                       "MAE", "MSE", "RMSE", "R2", "EVAR", "MAPE"])
+
+
+def _ensure_trans_table(run_dir, label, mstd):
+    """Baseline models bind to the Point dataset whose data_feature carries
+    no .gbst table, so executor.evaluate writes no *_trans.csv (the
+    reference computes these offline in result_convert.py:34-69); build it
+    here from the run's saved predictions npz."""
+    import glob
+
+    cache = os.path.join(run_dir, "evaluate_cache")
+    if glob.glob(os.path.join(cache, "*_trans.csv")):
+        return
+    npz = sorted(glob.glob(os.path.join(cache, "*_predictions.npz")))
+    if not npz:
+        return
+    blob = np.load(npz[-1])
+    frame = _trans_frame(blob["prediction"], blob["truth"], mstd, label)
+    frame.to_csv(os.path.join(cache, "offline_{}_trans.csv".format(label)))
+
+
 def _naive_trans_tables(shape, config, dataset, test_loader, out_dir, seed):
     """persistence + seasonal naive predictions through the same
     group-retransform metric protocol, written as *_trans.csv rows."""
@@ -97,24 +137,8 @@ def _naive_trans_tables(shape, config, dataset, test_loader, out_dir, seed):
         ),
         "seasonal": scaler.inverse_transform(x[:, len_c - 24 : len_c - 24 + tout, :, 0:1]),
     }
-    all_m = mstd["All_m"].to_numpy()[None, None, :, None]
-    all_s = mstd["All_std"].to_numpy()[None, None, :, None]
-    truth_t = truth * all_s + all_m
     for label, pred in naives.items():
-        pred_t = np.maximum(pred * all_s + all_m, 0.0)
-        rows = []
-        for rr in range(tout):
-            keep = truth_t[:, rr] > 10.0
-            pr, tr = pred_t[:, rr][keep], truth_t[:, rr][keep]
-            diff = pr - tr
-            mae = float(np.abs(diff).mean())
-            mse = float((diff ** 2).mean())
-            r2 = float(1.0 - (diff ** 2).sum() / ((pr - pr.mean()) ** 2).sum())
-            evar = float(1.0 - np.var(tr - pr) / np.var(pr))
-            rows.append([label, rr, datetime.datetime.now(), mae, mse,
-                         float(np.sqrt(mse)), r2, evar, float(np.abs(diff / tr).mean())])
-        frame = pd.DataFrame(rows, columns=["Model_name", "index", "Model_time",
-                                            "MAE", "MSE", "RMSE", "R2", "EVAR", "MAPE"])
+        frame = _trans_frame(pred, truth, mstd, label)
         run_dir = os.path.join(
             out_dir, "q_{}_{}_s{}".format(config.get("dataset"), label, seed), "evaluate_cache"
         )
@@ -167,6 +191,18 @@ def main():
             if label == "MultiATGCN":
                 _naive_trans_tables(shape, config, dataset, test_loader,
                                     os.path.join(bench_root, "outputs"), seed)
+            else:
+                # Point-dataset models carry no gbst in data_feature: build
+                # the group-retransform table offline like result_convert
+                from multistgraph_tpu.data import atomic
+
+                mstd = atomic.load_gbst(
+                    os.path.join(raw_dir, ds_name, ds_name + ".gbst")
+                )
+                _ensure_trans_table(
+                    os.path.join(bench_root, "outputs", run_args["exp_id"]),
+                    label, mstd,
+                )
 
     # aggregate into the paper-style comparison table
     sys.path.insert(0, os.path.join(ROOT, "tools"))
