@@ -269,3 +269,35 @@ def test_orbax_checkpoint_roundtrip(synthetic_dataset, tmp_path):
         jax.tree_util.tree_leaves(trained), jax.tree_util.tree_leaves(ex2.params)
     ):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)
+
+
+def test_cached_model_reuse_train_false(synthetic_dataset, tmp_path):
+    """run_model(train=False) must load the cached .m model and reproduce the
+    training run's evaluation exactly (ref pipeline.py:55-60)."""
+    from multistgraph_tpu.pipeline import run_model
+
+    args = {
+        "data_dir": synthetic_dataset,
+        "cache_dir": str(tmp_path / "cache"),
+        "output_dir": str(tmp_path / "out_reuse"),
+        "exp_id": "reuse",
+        "max_epoch": 1, "saved_model": True, "load_best_epoch": False,
+        "len_closeness": 1, "len_period": 1, "len_trend": 1,
+        "interval_period": 2, "interval_trend": 4,
+        "input_window": 24, "output_window": 3,
+        "load_external": True, "load_dynamic": False, "add_time_in_day": True,
+        "groupstd": True, "batch_size": 4, "train_rate": 0.7, "eval_rate": 0.15,
+        "rnn_units": 4, "embed_dim_node": 2, "embed_dim_adj": 2,
+        "use_early_stop": False, "seed": 0,
+    }
+    first = run_model(task="traffic_state_pred", model_name="MultiATGCN",
+                      dataset_name="SYN_SMALL", other_args=args)
+    cache_file = tmp_path / "out_reuse" / "reuse" / "model_cache" / "MultiATGCN_SYN_SMALL.m"
+    assert cache_file.exists()
+    stamp = cache_file.stat().st_mtime
+    second = run_model(task="traffic_state_pred", model_name="MultiATGCN",
+                       dataset_name="SYN_SMALL", train=False, other_args=args)
+    assert cache_file.stat().st_mtime == stamp  # no retrain, no resave
+    np.testing.assert_allclose(
+        first["masked_MAE"].to_numpy(), second["masked_MAE"].to_numpy(), rtol=1e-6
+    )
