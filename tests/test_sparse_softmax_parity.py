@@ -134,3 +134,19 @@ def test_distributed_dense_corrected_matches_single(rng):
     want = np.asarray(single.apply(ps, x, train=False))
     got = np.asarray(jax.jit(lambda p, xx: dist.apply(p, xx, train=False))(pd, x_sh))
     np.testing.assert_allclose(got, want, atol=2e-4, rtol=2e-4)
+
+    # gradients through the psum'd rank-1 background must also agree
+    def loss(model, params, xx):
+        return jnp.abs(model.apply(params, xx, train=False)).mean()
+
+    g_s = jax.grad(lambda t: loss(single, {"params": t, "graph": ps["graph"]}, x))(
+        ps["params"]
+    )
+    g_d = jax.jit(
+        jax.grad(lambda t: loss(dist, {"params": t, "graph": pd["graph"]}, x_sh))
+    )(pd["params"])
+    for key in ("node_vec1", "node_vec2"):
+        np.testing.assert_allclose(
+            np.asarray(g_d[key]), np.asarray(g_s[key]), atol=5e-4, rtol=5e-3,
+            err_msg="dense-corrected dist grad mismatch for {}".format(key),
+        )
