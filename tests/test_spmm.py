@@ -247,3 +247,30 @@ def test_spmm_jax_matches_pallas(rng):
     y_pallas = np.asarray(spmm_op(*args, interpret=True))
     y_jax = np.asarray(spmm_jax(*args))
     np.testing.assert_allclose(y_jax, y_pallas, atol=1e-4, rtol=1e-4)
+
+
+def test_spmm_stream_matches_block_grid(rng):
+    """Row-streaming kernel (in-kernel DMA pipeline) is exact vs baseline."""
+    import jax.numpy as jnp
+
+    from multistgraph_tpu.ops import bsr
+    from multistgraph_tpu.ops.spmm import spmm as spmm_op
+    from multistgraph_tpu.ops.spmm_stream import row_ptr_from_rows, spmm_stream
+
+    n = 640  # 5 row blocks; leave one row block empty to hit the zero path
+    dense = (rng.uniform(size=(n, n)) < 0.05).astype(np.float32) * rng.normal(
+        size=(n, n)
+    ).astype(np.float32)
+    dense[128:256, :] = 0.0
+    g = bsr.bsr_from_dense(dense, block=128)
+    x = rng.normal(size=(g.padded_nodes, 64)).astype(np.float32)
+    row_ptr = row_ptr_from_rows(g.row_of, g.num_row_blocks)
+    assert row_ptr[1] == row_ptr[2]  # empty row block present
+    args32 = (jnp.asarray(g.values), jnp.asarray(g.row_of), jnp.asarray(g.col_of),
+              jnp.asarray(x))
+    y_base = np.asarray(spmm_op(*args32, interpret=True))
+    y_stream = np.asarray(
+        spmm_stream(jnp.asarray(g.values), jnp.asarray(row_ptr),
+                    jnp.asarray(g.col_of), jnp.asarray(x), interpret=True)
+    )
+    np.testing.assert_allclose(y_stream, y_base, atol=0, rtol=0)
