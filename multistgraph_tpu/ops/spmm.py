@@ -44,6 +44,28 @@ def _spmm_kernel(row_of_ref, col_of_ref, values_ref, x_ref, init_ref, out_ref):
 
 @functools.partial(jax.jit, static_argnames=("block", "interpret", "out_blocks"))
 def _spmm_impl(values, row_of, col_of, x, block: int, interpret: bool, out_blocks=None):
+    """Dispatch to the row-streaming kernel (ops/spmm_stream.py, 1.26x and
+    bit-exact vs the block-grid kernel below) when the feature width is
+    lane-aligned; row_ptr is derived in-graph from the row-major-sorted row
+    ids. Mosaic requires in-kernel DMA slices to be 128-aligned in the last
+    dim, so narrow-feature calls (e.g. the model's T*B*C-flattened
+    aggregations at small batch) keep the BlockSpec-pipelined block-grid
+    kernel, whose pipeline pads transparently."""
+    if x.shape[1] % 128 == 0:
+        from multistgraph_tpu.ops.spmm_stream import spmm_stream
+
+        n_rows = out_blocks if out_blocks is not None else x.shape[0] // block
+        row_ptr = jnp.searchsorted(
+            row_of, jnp.arange(n_rows + 1, dtype=row_of.dtype), side="left"
+        ).astype(jnp.int32)
+        return spmm_stream(values, row_ptr, col_of, x, block=block,
+                           out_blocks=out_blocks, interpret=interpret)
+    return _spmm_blockgrid(values, row_of, col_of, x, block=block,
+                           interpret=interpret, out_blocks=out_blocks)
+
+
+@functools.partial(jax.jit, static_argnames=("block", "interpret", "out_blocks"))
+def _spmm_blockgrid(values, row_of, col_of, x, block: int, interpret: bool, out_blocks=None):
     nnz = values.shape[0]
     n_pad, feat = x.shape
     in_blocks = n_pad // block
