@@ -194,9 +194,12 @@ def _fused_bwd(dtype, res, dstates):
         reverse=True,
     )
     dpre_g_s, dpre_u_s, dpre_rg_s, dpre_ru_s, dw_seq = stacks
-    # ONE contraction over (T,B) per weight — no per-step (N,K,I,O) RMW
-    d_wg_h = mm("tbkni,tbno->nkio", hh_s, dpre_g_s)
-    d_wu_h = mm("tbkni,tbno->nkio", hzh_s, dpre_u_s)
+    # ONE contraction over (T,B) per weight — no per-step (N,K,I,O) RMW.
+    # Cotangent dtype must match the primal's (the encoder pre-casts the
+    # weights to the compute dtype); the single rounding to bf16 here is
+    # undone by the cast's own VJP upstream.
+    d_wg_h = mm("tbkni,tbno->nkio", hh_s, dpre_g_s).astype(wg_h.dtype)
+    d_wu_h = mm("tbkni,tbno->nkio", hzh_s, dpre_u_s).astype(wu_h.dtype)
     d_bg = dpre_g_s.sum(axis=(0, 1))
     d_bu = dpre_u_s.sum(axis=(0, 1))
     d_rg_b = dpre_rg_s.sum(axis=(0, 1, 2))
@@ -445,6 +448,20 @@ class MultiATGCN(nn.Module):
                 gate_x, upd_x = xw[..., : 2 * h], xw[..., 2 * h :]
 
                 dtype = jnp.dtype(self.compute_dtype) if self.compute_dtype else None
+                if dtype is not None:
+                    # Pre-cast the big loop-invariant weights ONCE, outside
+                    # the scans. XLA does NOT hoist the per-step astype out of
+                    # the while-loop body, so without this the bf16 mode
+                    # streams the f32 weights AND a bf16 copy every step
+                    # (measured: bf16 saved ~3% instead of the ~25% the
+                    # 58 MB/step weight stream predicts). The cast is
+                    # differentiable (its VJP converts the cotangent back to
+                    # f32 before it reaches the pool parameters). supports
+                    # stays f32: it is only ~1 MB/step to cast, and its
+                    # cotangent is accumulated across all T steps — bf16
+                    # accumulation there would genuinely lose precision.
+                    wg_h = wg_h.astype(dtype)
+                    wu_h = wu_h.astype(dtype)
                 if self.fused_bptt:
                     states = fused_atgru_layer(
                         dtype,

@@ -62,29 +62,36 @@ def main():
 
         return jax.jit(wrapped)
 
+    # Chain the carry INTO the model input each iteration: with loop-invariant
+    # inputs XLA hoists the whole body out of the scan and the measurement
+    # reads 1/REPEAT of one evaluation (the 'forward repeated 32x' trap —
+    # see docs/DESIGN.md). c*1e-30 is numerically nil but defeats invariance.
+    def perturb(b, c):
+        return {"X": b["X"] + c * jnp.float32(1e-30), "y": b["y"]}
+
     # forward only: carry a scalar so the scan isn't dead-code-eliminated
     fwd = repeat(
-        lambda c, p, b: c + model.apply(p, b["X"], train=False).mean(),
+        lambda c, p, b: c + model.apply(p, perturb(b, c)["X"], train=False).mean(),
         lambda p, b: jnp.float32(0),
     )
     t_fwd = _time(fwd, params, batch)
 
     lossr = repeat(
-        lambda c, p, b: c + loss_fn(p, b, train=False),
+        lambda c, p, b: c + loss_fn(p, perturb(b, c), train=False),
         lambda p, b: jnp.float32(0),
     )
     t_loss = _time(lossr, params, batch)
 
-    def grad_sum(p, b, train):
+    def grad_sum(c, p, b, train):
         loss, grads = jax.value_and_grad(
-            lambda pp: loss_fn({"params": pp}, b, rng=rng, train=train)
+            lambda pp: loss_fn({"params": pp}, perturb(b, c), rng=rng, train=train)
         )(p["params"])
         # touch every grad leaf so backward isn't dead-code-eliminated
         return loss + sum(g.sum() for g in jax.tree_util.tree_leaves(grads))
 
-    gradr = repeat(lambda c, p, b: c + grad_sum(p, b, True), lambda p, b: jnp.float32(0))
+    gradr = repeat(lambda c, p, b: c + grad_sum(c, p, b, True), lambda p, b: jnp.float32(0))
     t_grad = _time(gradr, params, batch)
-    gradr_nd = repeat(lambda c, p, b: c + grad_sum(p, b, False), lambda p, b: jnp.float32(0))
+    gradr_nd = repeat(lambda c, p, b: c + grad_sum(c, p, b, False), lambda p, b: jnp.float32(0))
     t_grad_nd = _time(gradr_nd, params, batch)
 
     def train_body(carry, b):
