@@ -274,3 +274,33 @@ def test_spmm_stream_matches_block_grid(rng):
                     jnp.asarray(g.col_of), jnp.asarray(x), interpret=True)
     )
     np.testing.assert_allclose(y_stream, y_base, atol=0, rtol=0)
+
+
+def test_spmm_stream_chunked_and_pinned_variants(rng):
+    """chunk>0 (contiguous multi-tile values DMAs with clamped tails) and
+    pin_x=True (whole x resident in VMEM) are bit-exact vs the per-tile
+    streaming kernel, including empty rows and the end-of-nnz clamp."""
+    import jax.numpy as jnp
+
+    from multistgraph_tpu.ops import bsr
+    from multistgraph_tpu.ops.spmm_stream import (can_pin_x, row_ptr_from_rows,
+                                                  spmm_stream)
+
+    n = 640
+    dense = (rng.uniform(size=(n, n)) < 0.05).astype(np.float32) * rng.normal(
+        size=(n, n)
+    ).astype(np.float32)
+    dense[128:256, :] = 0.0      # empty row block
+    dense[512:, 512:] = 0.0      # thin final row -> exercises the nnz clamp
+    g = bsr.bsr_from_dense(dense, block=128)
+    x = rng.normal(size=(g.padded_nodes, 128)).astype(np.float32)
+    row_ptr = row_ptr_from_rows(g.row_of, g.num_row_blocks)
+    args = (jnp.asarray(g.values), jnp.asarray(row_ptr), jnp.asarray(g.col_of),
+            jnp.asarray(x))
+    y_base = np.asarray(spmm_stream(*args, interpret=True))
+    assert can_pin_x(g.padded_nodes, 128, 4)
+    for kw in (dict(chunk=2, n_buf=2), dict(chunk=4, n_buf=3),
+               dict(pin_x=True, chunk=4, n_buf=2),
+               dict(pin_x=True, chunk=64, n_buf=2)):  # chunk > nnz clamps
+        y = np.asarray(spmm_stream(*args, interpret=True, **kw))
+        np.testing.assert_allclose(y, y_base, atol=0, rtol=0, err_msg=str(kw))
