@@ -42,6 +42,7 @@ import numpy as np
 
 from multistgraph_tpu.graph import views as graph_views
 from multistgraph_tpu.models import initializers
+from multistgraph_tpu.ops import layout as layout_ops
 from multistgraph_tpu.ops import losses
 
 HOURS_PER_BLOCK = 24  # the reference hardcodes 24-step fusion blocks (ref :373-393)
@@ -73,6 +74,19 @@ def _uniform01(shape):
 # so the only in-loop accumulators are the (K,N,N) supports cotangent and the
 # small residual-GRU weights. Numerics are asserted identical to plain
 # autodiff in tests/test_fused_bptt.py.
+#
+# Save-recompute split (measured op-by-op with tools/profile_step.py):
+# the SMALL per-step intermediates (zr, hc, h_agru, zr2, hc_res) are stacked
+# by the forward scan — the reverse scan re-reads them at full bandwidth.
+# The LARGE graph-aggregation stacks hh/hzh (T,B,K,N,C — ~58 MB each at
+# DC-237) are NOT stacked: only the dW contractions consume them, so the
+# backward recomputes them in two bulk supports-einsums (~0.3 ms each)
+# right at the consumption site. Stacking them instead cost ~2.6 ms/step in
+# in-loop stores, zero-init broadcasts of the stack buffers, and relayout
+# copies between the scan's forced stack layout and the layout the dW
+# contraction wants. (Recomputing EVERYTHING is also wrong: bulk-produced
+# arrays fed back into the reverse scan get sliced at 1/8 bandwidth —
+# measured +6 ms over this hybrid.)
 # --------------------------------------------------------------------------
 def _atgru_step_forward(h_prev, xs, supports, wg_h, wu_h, bg, bu,
                         rg_h, ru_h, rg_b, ru_b, dtype=None):
@@ -98,10 +112,7 @@ def _atgru_step_forward(h_prev, xs, supports, wg_h, wu_h, bg, bu,
     hc_res = jnp.tanh(ru_x_t + (z2 * h_agru) @ ru_h + ru_b)
     h_res = r2 * h_agru + (1.0 - r2) * hc_res
     h_new = w_t * h_agru + (1.0 - w_t) * h_res
-    # residual stacks stored in the compute dtype (halves bwd HBM traffic)
-    hh_r = hh if dtype is None else hh.astype(dtype)
-    hzh_r = hzh if dtype is None else hzh.astype(dtype)
-    return h_new, (hh_r, zr, hzh_r, hc, h_agru, zr2, hc_res)
+    return h_new, (zr, hc, h_agru, zr2, hc_res)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
@@ -130,23 +141,28 @@ def _fused_fwd(dtype, gate_x, upd_x, rg_x, ru_x, w_seq, supports,
         return h_new, (h_new,) + inter
 
     _, outs = jax.lax.scan(step, state0, (gate_x, upd_x, rg_x, ru_x, w_seq))
-    states, hh_s, zr_s, hzh_s, hc_s, h_agru_s, zr2_s, hc_res_s = outs
+    states, zr_s, hc_s, h_agru_s, zr2_s, hc_res_s = outs
     res = (gate_x, upd_x, rg_x, ru_x, w_seq, supports, wg_h, wu_h, bg, bu,
            rg_h, ru_h, rg_b, ru_b, state0,
-           states, hh_s, zr_s, hzh_s, hc_s, h_agru_s, zr2_s, hc_res_s)
+           states, zr_s, hc_s, h_agru_s, zr2_s, hc_res_s)
     return states, res
 
 
 def _fused_bwd(dtype, res, dstates):
     (gate_x, upd_x, rg_x, ru_x, w_seq, supports, wg_h, wu_h, bg, bu,
      rg_h, ru_h, rg_b, ru_b, state0,
-     states, hh_s, zr_s, hzh_s, hc_s, h_agru_s, zr2_s, hc_res_s) = res
+     states, zr_s, hc_s, h_agru_s, zr2_s, hc_res_s) = res
     cast = (lambda a: a.astype(dtype)) if dtype is not None else (lambda a: a)
     mm = lambda spec, a, b: jnp.einsum(  # noqa: E731
         spec, cast(a), cast(b), preferred_element_type=jnp.float32
     )
     # h_{t-1} for every step
     h_prev_s = jnp.concatenate([state0[None], states[:-1]], axis=0)
+    # Bulk recompute of the two big graph-aggregation stacks, only consumed
+    # by the dW contractions below (the reverse scan never reads them).
+    hh_s = mm("knm,tbmc->tbknc", supports, h_prev_s)
+    z_s = jnp.split(zr_s, 2, axis=-1)[0]
+    hzh_s = mm("knm,tbmc->tbknc", supports, z_s * h_prev_s)
 
     def back_step(carry, xs):
         dh, d_sup, d_rg_h, d_ru_h = carry
@@ -204,7 +220,12 @@ def _fused_bwd(dtype, res, dstates):
     d_bu = dpre_u_s.sum(axis=(0, 1))
     d_rg_b = dpre_rg_s.sum(axis=(0, 1, 2))
     d_ru_b = dpre_ru_s.sum(axis=(0, 1, 2))
-    return (dpre_g_s, dpre_u_s, dpre_rg_s, dpre_ru_s, dw_seq, d_sup,
+    # Cotangent dtypes must mirror the primals' (the encoder may pass the
+    # hoisted pre-activations in the compute dtype; the upstream cast's VJP
+    # restores f32 before they reach parameters).
+    return (dpre_g_s.astype(gate_x.dtype), dpre_u_s.astype(upd_x.dtype),
+            dpre_rg_s.astype(rg_x.dtype), dpre_ru_s.astype(ru_x.dtype),
+            dw_seq, d_sup,
             d_wg_h, d_wu_h, d_bg, d_bu, d_rg_h, d_ru_h, d_rg_b, d_ru_b, dstate0)
 
 
@@ -462,6 +483,25 @@ class MultiATGCN(nn.Module):
                     # accumulation there would genuinely lose precision.
                     wg_h = wg_h.astype(dtype)
                     wu_h = wu_h.astype(dtype)
+                    # Store the hoisted per-step pre-activations in the
+                    # compute dtype too: the scans re-read one (B,N,C) slab
+                    # of each per step, and those slices run well below HBM
+                    # peak (tools/profile_step.py) — halving their bytes
+                    # halves that cost. They are only ever ADDED to f32
+                    # matmul results (promotion keeps the sum f32).
+                    gate_x = gate_x.astype(dtype)
+                    upd_x = upd_x.astype(dtype)
+                    res_gate_x = res_gate_x.astype(dtype)
+                    res_upd_x = res_upd_x.astype(dtype)
+                if dtype is None:
+                    # Launder the per-step input stacks into the default
+                    # layout: left to itself, XLA keeps the producing dot's
+                    # layout, where the step dim lands inside the (8,128)
+                    # tile and every scan slice reads at ~1/8 HBM bandwidth
+                    # (ops/layout.py has the measurements). In bf16 mode the
+                    # astype above already serves as the relayout point —
+                    # an extra copy there costs more than it saves (A/B'd).
+                    gate_x, upd_x = layout_ops.force_default_layouts(gate_x, upd_x)
                 if self.fused_bptt:
                     states = fused_atgru_layer(
                         dtype,
