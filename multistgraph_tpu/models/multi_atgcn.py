@@ -418,19 +418,39 @@ class MultiATGCN(nn.Module):
         # non-multi + adaptive: static supports are NOT used (ref :92-93)
         return jnp.concatenate([eye[None], adaptive_stack], axis=0)
 
-    def _cell_weights(self, cell_params) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    def _cell_weights(self, cell_params, dtype=None) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
         """Node-conditioned weights split into (W_x, W_h) plus bias.
 
         W[n,k,i,o] = node_emb[n,:] . pool[:,k,i,o], scaled by softmax(weights_g)
         over k when adjtype='multi' (folded here instead of into the supports).
+
+        With ``dtype`` set (bf16 mode) the gate is folded into the SMALL pool
+        before expansion, the x/h split happens on the pool, and the two
+        expansions run in the compute dtype directly — the f32 path writes
+        the full expanded tensor (~176 MB/step at DC-237), gate-multiplies
+        it, splits it (two more big copies), then casts; this path writes
+        half the bytes once and nothing else. (Kept separate so the f32
+        path stays bit-identical to the reference-parity numerics.)
         """
-        w = jnp.einsum("nd,dkio->nkio", self._node_emb, cell_params["pool"])
+        if dtype is None:
+            w = jnp.einsum("nd,dkio->nkio", self._node_emb, cell_params["pool"])
+            if self.adjtype == "multi":
+                gate = jax.nn.softmax(cell_params["weights_g"], axis=0)  # (K,1,1)
+                w = w * gate[None, :, 0, 0][:, :, None, None]
+            bias = self._node_emb @ cell_params["bias_pool"]  # (N, out)
+            dim_in = w.shape[2] - self.hidden_dim
+            return w[:, :, :dim_in], w[:, :, dim_in:], bias
+        pool = cell_params["pool"]
         if self.adjtype == "multi":
             gate = jax.nn.softmax(cell_params["weights_g"], axis=0)  # (K,1,1)
-            w = w * gate[None, :, 0, 0][:, :, None, None]
-        bias = self._node_emb @ cell_params["bias_pool"]  # (N, out)
-        dim_in = w.shape[2] - self.hidden_dim
-        return w[:, :, :dim_in], w[:, :, dim_in:], bias
+            pool = pool * gate[None, :, 0, 0][:, :, None, None]
+        pool = pool.astype(dtype)
+        emb = self._node_emb.astype(dtype)
+        dim_in = pool.shape[2] - self.hidden_dim
+        w_x = jnp.einsum("nd,dkio->nkio", emb, pool[:, :, :dim_in])
+        w_h = jnp.einsum("nd,dkio->nkio", emb, pool[:, :, dim_in:])
+        bias = self._node_emb @ cell_params["bias_pool"]  # (N, out), f32
+        return w_x, w_h, bias
 
     def _encoder(self, x: jnp.ndarray, init_state: jnp.ndarray, supports: jnp.ndarray) -> jnp.ndarray:
         """x: (B, T, N, C) -> stacked per-step states of the last layer (B, T, N, H)."""
@@ -459,30 +479,34 @@ class MultiATGCN(nn.Module):
             res_upd_h = res_upd_k[dim_in:]
 
             if not self.gcn_off:
-                wg_x, wg_h, bg = self._cell_weights(cell["gate"])
-                wu_x, wu_h, bu = self._cell_weights(cell["update"])
+                dtype = jnp.dtype(self.compute_dtype) if self.compute_dtype else None
+                # In bf16 mode _cell_weights expands the pools DIRECTLY in
+                # the compute dtype (gate folded pre-expansion, x/h split on
+                # the pool), so the big loop-invariant weights are built once
+                # in their in-scan dtype — no f32 materialization, no
+                # separate pre-cast. XLA does NOT hoist a per-step astype out
+                # of the while-loop body, so building them in the right
+                # dtype here is what keeps the scans streaming half the
+                # bytes. The expansion einsum is differentiable; its VJP
+                # hands the pool a f32 cotangent (preferred_element_type).
+                # supports stays f32: it is only ~1 MB/step to cast, and its
+                # cotangent is accumulated across all T steps — bf16
+                # accumulation there would genuinely lose precision.
+                wg_x, wg_h, bg = self._cell_weights(cell["gate"], dtype)
+                wu_x, wu_h, bu = self._cell_weights(cell["update"], dtype)
                 # Hoist the graph aggregation of the input sequence: shared by
                 # the gate and candidate AGCNs at every step; the two weight
                 # contractions fuse into one (I -> 3H) einsum.
                 hx = jnp.einsum("knm,tbmc->tbknc", supports, current)
-                xw = jnp.einsum("tbkni,nkio->tbno", hx, jnp.concatenate([wg_x, wu_x], axis=3))
+                if dtype is not None:
+                    hx = hx.astype(dtype)
+                xw = jnp.einsum(
+                    "tbkni,nkio->tbno", hx, jnp.concatenate([wg_x, wu_x], axis=3),
+                    preferred_element_type=jnp.float32,
+                )
                 gate_x, upd_x = xw[..., : 2 * h], xw[..., 2 * h :]
 
-                dtype = jnp.dtype(self.compute_dtype) if self.compute_dtype else None
                 if dtype is not None:
-                    # Pre-cast the big loop-invariant weights ONCE, outside
-                    # the scans. XLA does NOT hoist the per-step astype out of
-                    # the while-loop body, so without this the bf16 mode
-                    # streams the f32 weights AND a bf16 copy every step
-                    # (measured: bf16 saved ~3% instead of the ~25% the
-                    # 58 MB/step weight stream predicts). The cast is
-                    # differentiable (its VJP converts the cotangent back to
-                    # f32 before it reaches the pool parameters). supports
-                    # stays f32: it is only ~1 MB/step to cast, and its
-                    # cotangent is accumulated across all T steps — bf16
-                    # accumulation there would genuinely lose precision.
-                    wg_h = wg_h.astype(dtype)
-                    wu_h = wu_h.astype(dtype)
                     # Store the hoisted per-step pre-activations in the
                     # compute dtype too: the scans re-read one (B,N,C) slab
                     # of each per step, and those slices run well below HBM

@@ -149,3 +149,46 @@ def test_full_model_identical_with_and_without_fusion(rng):
             np.asarray(a), np.asarray(b), atol=2e-5, rtol=2e-4,
             err_msg="model grad mismatch at {}".format(jax.tree_util.keystr(k1)),
         )
+
+
+def test_full_model_bf16_close_to_f32(rng):
+    """compute_dtype='bfloat16' (pool-side gate fold + direct bf16 expansion,
+    models/multi_atgcn.py:_cell_weights) must stay close to exact f32 on the
+    full model with adjtype='multi' — covers the gate-broadcast reshape and
+    the bf16 hoisted-preactivation casts end to end."""
+    m_f32, _ = _tiny_model_setup(rng, True)
+    m_bf16 = m_f32.clone(compute_dtype="bfloat16")
+    x = jnp.asarray(rng.normal(size=(2, 72, 6, 2)).astype(np.float32))
+    y = jnp.abs(jnp.asarray(rng.normal(size=(2, 6, 6, 2)).astype(np.float32)))
+    params = m_f32.init(jax.random.PRNGKey(0), x, train=False)
+    out32 = m_f32.apply(params, x, train=False)
+    out16 = m_bf16.apply(params, x, train=False)
+    np.testing.assert_allclose(
+        np.asarray(out16), np.asarray(out32), atol=0.05, rtol=0.05
+    )
+
+    class _Scaler:
+        def inverse_transform(self, v):
+            return v * 2.0 + 1.0
+
+    batch = {"X": x, "y": y}
+    v32, g32 = jax.value_and_grad(
+        lambda p: make_loss_fn(m_f32, _Scaler())(p, batch, train=False)
+    )(params)
+    v16, g16 = jax.value_and_grad(
+        lambda p: make_loss_fn(m_bf16, _Scaler())(p, batch, train=False)
+    )(params)
+    np.testing.assert_allclose(float(v16), float(v32), rtol=0.05, atol=0.02)
+    key = lambda item: jax.tree_util.keystr(item[0])  # noqa: E731
+    for (k1, a), (k2, b) in zip(
+        sorted(jax.tree_util.tree_leaves_with_path(g16), key=key),
+        sorted(jax.tree_util.tree_leaves_with_path(g32), key=key),
+    ):
+        assert a.dtype == b.dtype, "param cotangent dtype changed at {}".format(
+            jax.tree_util.keystr(k1)
+        )
+        denom = np.maximum(np.abs(np.asarray(b)), 1e-2)
+        rel = np.abs(np.asarray(a, np.float32) - np.asarray(b)) / denom
+        assert float(np.median(rel)) < 0.15, "bf16 grads diverge at {}: median rel {}".format(
+            jax.tree_util.keystr(k1), float(np.median(rel))
+        )
