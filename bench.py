@@ -64,6 +64,11 @@ def main():
         "batch_size": 16, "train_rate": 0.7, "eval_rate": 0.15,
         "max_epoch": TIMED_EPOCHS, "saved_model": False, "use_early_stop": False,
         "seed": 0,
+        # bf16 matmuls with f32 accumulation: per-horizon eval metrics match
+        # exact f32 to ~3 decimal places after 20 epochs on this workload
+        # (tools/bench_bf16_quality.py, docs/DESIGN.md §8), at ~1.27x the
+        # f32 step speed.
+        "compute_dtype": "bfloat16",
     }
     config = load_config("traffic_state_pred", "MultiATGCN", ds_name, other_args=args)
     t0 = time.time()

@@ -134,11 +134,19 @@ def fused_atgru_layer(dtype, gate_x, upd_x, rg_x, ru_x, w_seq, supports,
 
 def _fused_fwd(dtype, gate_x, upd_x, rg_x, ru_x, w_seq, supports,
                wg_h, wu_h, bg, bu, rg_h, ru_h, rg_b, ru_b, state0):
+    # In bf16 mode the saved-for-backward intermediates are STACKED in bf16
+    # (standard mixed-precision activation saving): the scan's
+    # dynamic-update-slice writes and the reverse pass's slice reads are the
+    # dominant per-step stack traffic, and every consumer promotes back to
+    # f32 in elementwise math. The f32 CARRY (and the returned states) stay
+    # exact — only the backward's view of zr/hc/... is rounded.
+    keep = (lambda a: a.astype(dtype)) if dtype is not None else (lambda a: a)
+
     def step(h, xs):
         h_new, inter = _atgru_step_forward(
             h, xs, supports, wg_h, wu_h, bg, bu, rg_h, ru_h, rg_b, ru_b, dtype
         )
-        return h_new, (h_new,) + inter
+        return h_new, (h_new,) + tuple(keep(i) for i in inter)
 
     _, outs = jax.lax.scan(step, state0, (gate_x, upd_x, rg_x, ru_x, w_seq))
     states, zr_s, hc_s, h_agru_s, zr2_s, hc_res_s = outs
