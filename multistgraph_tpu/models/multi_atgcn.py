@@ -88,6 +88,24 @@ def _uniform01(shape):
 # arrays fed back into the reverse scan get sliced at 1/8 bandwidth —
 # measured +6 ms over this hybrid.)
 # --------------------------------------------------------------------------
+# Einsum index orders of the recurrence, module-level so the layout harness
+# (tools/bench_layer_layouts.py) can A/B them on the chip. The in-scan
+# aggregation/apply pair and the bulk recompute/dW pair each relayout-copy
+# their intermediate when the producer's chosen layout differs from the
+# consumer dot's preferred one; index order is the only lever XLA gives us.
+_AGG_SPEC = "knm,bmc->bknc"        # supports @ h   (per scan step)
+_APPLY_SPEC = "bkni,nkio->bno"     # node-conditioned weight apply
+# N-major bulk layout measured fastest on-chip (5.68 vs 5.83 ms/layer
+# fwd+bwd at DC-237 bf16, tools/bench_layer_layouts.py): producing the
+# recompute stacks with N outermost lets the dW dot consume them without
+# the {3,4,2,1,0}->{4,0,1,2,3} relayout copy the t-major order forced.
+_BULK_AGG_SPEC = "knm,tbmc->nkbtc"  # bulk recompute of hh/hzh stacks (bwd)
+_DW_SPEC = "nkbti,tbno->nkio"       # one-shot weight-gradient contraction
+_DAPPLY_SPEC = "bno,nkio->bkni"     # W^T apply in the reverse scan
+_DSUP_SPEC = "bknc,bmc->knm"        # supports-cotangent accumulation
+_DAGGT_SPEC = "knm,bknc->bmc"       # supports^T applied to dhh/dhzh
+
+
 def _atgru_step_forward(h_prev, xs, supports, wg_h, wu_h, bg, bu,
                         rg_h, ru_h, rg_b, ru_b, dtype=None):
     """One ATGRU+residual step; returns (h_new, intermediates).
@@ -101,11 +119,11 @@ def _atgru_step_forward(h_prev, xs, supports, wg_h, wu_h, bg, bu,
         spec, cast(a), cast(b), preferred_element_type=jnp.float32
     )
     gate_x_t, upd_x_t, rg_x_t, ru_x_t, w_t = xs
-    hh = mm("knm,bmc->bknc", supports, h_prev)
-    zr = jax.nn.sigmoid(gate_x_t + mm("bkni,nkio->bno", hh, wg_h) + bg)
+    hh = mm(_AGG_SPEC, supports, h_prev)
+    zr = jax.nn.sigmoid(gate_x_t + mm(_APPLY_SPEC, hh, wg_h) + bg)
     z, r = jnp.split(zr, 2, axis=-1)
-    hzh = mm("knm,bmc->bknc", supports, z * h_prev)
-    hc = jnp.tanh(upd_x_t + mm("bkni,nkio->bno", hzh, wu_h) + bu)
+    hzh = mm(_AGG_SPEC, supports, z * h_prev)
+    hc = jnp.tanh(upd_x_t + mm(_APPLY_SPEC, hzh, wu_h) + bu)
     h_agru = r * h_prev + (1.0 - r) * hc
     zr2 = jax.nn.sigmoid(rg_x_t + h_agru @ rg_h + rg_b)
     z2, r2 = jnp.split(zr2, 2, axis=-1)
@@ -168,9 +186,9 @@ def _fused_bwd(dtype, res, dstates):
     h_prev_s = jnp.concatenate([state0[None], states[:-1]], axis=0)
     # Bulk recompute of the two big graph-aggregation stacks, only consumed
     # by the dW contractions below (the reverse scan never reads them).
-    hh_s = mm("knm,tbmc->tbknc", supports, h_prev_s)
+    hh_s = mm(_BULK_AGG_SPEC, supports, h_prev_s)
     z_s = jnp.split(zr_s, 2, axis=-1)[0]
-    hzh_s = mm("knm,tbmc->tbknc", supports, z_s * h_prev_s)
+    hzh_s = mm(_BULK_AGG_SPEC, supports, z_s * h_prev_s)
 
     def back_step(carry, xs):
         dh, d_sup, d_rg_h, d_ru_h = carry
@@ -198,16 +216,16 @@ def _fused_bwd(dtype, res, dstates):
         dr = (h_prev - hc) * dh_agru
         dh_prev = r * dh_agru
         dpre_u = (1.0 - r) * dh_agru * (1.0 - hc * hc)
-        dhzh = mm("bno,nkio->bkni", dpre_u, wu_h)
+        dhzh = mm(_DAPPLY_SPEC, dpre_u, wu_h)
         zh = z * h_prev
-        d_sup = d_sup + mm("bknc,bmc->knm", dhzh, zh)
-        dzh = mm("knm,bknc->bmc", supports, dhzh)
+        d_sup = d_sup + mm(_DSUP_SPEC, dhzh, zh)
+        dzh = mm(_DAGGT_SPEC, supports, dhzh)
         dz = dzh * h_prev
         dh_prev = dh_prev + dzh * z
         dpre_g = jnp.concatenate([dz, dr], axis=-1) * zr * (1.0 - zr)
-        dhh = mm("bno,nkio->bkni", dpre_g, wg_h)
-        d_sup = d_sup + mm("bknc,bmc->knm", dhh, h_prev)
-        dh_prev = dh_prev + mm("knm,bknc->bmc", supports, dhh)
+        dhh = mm(_DAPPLY_SPEC, dpre_g, wg_h)
+        d_sup = d_sup + mm(_DSUP_SPEC, dhh, h_prev)
+        dh_prev = dh_prev + mm(_DAGGT_SPEC, supports, dhh)
         return (dh_prev, d_sup, d_rg_h, d_ru_h), (dpre_g, dpre_u, dpre_rg, dpre_ru, dw_t)
 
     zero = jnp.zeros_like
@@ -222,8 +240,8 @@ def _fused_bwd(dtype, res, dstates):
     # Cotangent dtype must match the primal's (the encoder pre-casts the
     # weights to the compute dtype); the single rounding to bf16 here is
     # undone by the cast's own VJP upstream.
-    d_wg_h = mm("tbkni,tbno->nkio", hh_s, dpre_g_s).astype(wg_h.dtype)
-    d_wu_h = mm("tbkni,tbno->nkio", hzh_s, dpre_u_s).astype(wu_h.dtype)
+    d_wg_h = mm(_DW_SPEC, hh_s, dpre_g_s).astype(wg_h.dtype)
+    d_wu_h = mm(_DW_SPEC, hzh_s, dpre_u_s).astype(wu_h.dtype)
     d_bg = dpre_g_s.sum(axis=(0, 1))
     d_bu = dpre_u_s.sum(axis=(0, 1))
     d_rg_b = dpre_rg_s.sum(axis=(0, 1, 2))
