@@ -114,8 +114,9 @@ def main():
     # undercounts ~50x here). Forward per step, per layer, per scan tick:
     # two support aggregations (knm,bmc) + two node-conditioned weight
     # applications (bkni,nkio); plus the hoisted input-part einsums and the
-    # expanded-weight build; backward ~2x forward. v5e: ~819 GB/s HBM,
-    # measured ~39 TF/s f32 matmul.
+    # expanded-weight build; backward ~2x forward. Machine calibration via
+    # the latency-cancelling slope method (tools/bench_hbm_peak.py,
+    # docs/DESIGN.md §9): HBM read 650-733 GB/s, MXU 186.9 TF/s bf16.
     model_cfg = dict(N=237, B=16, H=64, K=5, T=24, L=2, E=20)
     n, b, h, k, t, layers = (model_cfg[x] for x in ("N", "B", "H", "K", "T", "L"))
     agg = 2 * k * n * n * b * h * 2 * t * layers           # S@h and S@(z*h)
@@ -126,10 +127,11 @@ def main():
     achieved = step_flops * len(train_loader) / epoch_seconds
     log(
         "roofline (analytic): ~{:.0f} GFLOP/step fwd+bwd, {:.1f} TFLOP/s "
-        "achieved = {:.0f}% of the measured 39 TF/s f32 matmul peak on this "
-        "v5e chip ({:.1f}% of 197 TF/s bf16 peak)".format(
-            step_flops / 1e9, achieved / 1e12, 100 * achieved / 39e12,
-            100 * achieved / 197e12,
+        "achieved = {:.1f}% of the measured 186.9 TF/s bf16 matmul peak — "
+        "the step is BANDWIDTH-bound, not FLOP-bound: its encoder scans "
+        "stream weights at ~760 GB/s vs the 733 GB/s measured HBM read "
+        "ceiling (docs/DESIGN.md §9)".format(
+            step_flops / 1e9, achieved / 1e12, 100 * achieved / 186.9e12,
         )
     )
 

@@ -1,5 +1,9 @@
 """Microbench: in-kernel formulations of the node-conditioned weight apply.
 
+[Absolute us/step numbers carry the relay's ~28 ms sync latency spread over
+the repeat count (docs/DESIGN.md §9); the A/B/C/D ranking is unaffected —
+all variants share the bias.]
+
 The ATGRU recurrence applies a different (K*I, O) weight to every node each
 scan step (reference MultiSTGraph MultiATGCN.py:104-108). The XLA einsum
 ('bkni,nkio->bno') runs at ~B/128 of matmul peak and re-streams the expanded

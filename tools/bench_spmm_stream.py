@@ -1,6 +1,10 @@
 """Compare the block-grid SpMM kernel (ops/spmm.py) with the row-streaming
 kernel (ops/spmm_stream.py) on the 50k-node spatial power-law graph.
 
+Timing uses the latency-cancelling slope method (tools/timing.py): the old
+host-loop numbers here were polluted by the relay's ~28 ms dispatch+sync
+round trip and understated both kernels several-fold.
+
 Usage: python tools/bench_spmm_stream.py [num_nodes] [avg_degree] [feat] [n_buf]
 """
 
@@ -38,32 +42,43 @@ def main():
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.normal(size=(graph.padded_nodes, feat)).astype(np.float32))
 
-    def sync(arr):
-        return float(jnp.sum(arr[0]))
+    from tools.timing import slope_time
 
     bytes_hbm = graph.nnz_blocks * (graph.block * graph.block + graph.block * feat) * 4
-    print("HBM floor @819GB/s: {:.3f} ms".format(bytes_hbm / 819e9 * 1e3), file=sys.stderr)
+    print("HBM floor @ the measured 730 GB/s ceiling: {:.3f} ms".format(
+        bytes_hbm / 730e9 * 1e3), file=sys.stderr)
+
+    import functools
+    import jax
 
     results = {}
-    for name, fn in [
-        ("block-grid", lambda: spmm(values, row_of, col_of, x)),
-        ("stream", lambda: spmm_stream(values, row_ptr, col_of, x)),
+    for name, op in [
+        ("block-grid", lambda vv, xx: spmm(vv, row_of, col_of, xx)),
+        ("stream", lambda vv, xx: spmm_stream(vv, row_ptr, col_of, xx)),
     ]:
+        # values/x are jit ARGUMENTS — closed-over arrays become inline HLO
+        # constants and blow the relay's 413 payload limit
+        def make_fn(k, op=op):
+            @functools.partial(jax.jit, static_argnums=2)
+            def fn(vv, xx, kk):
+                def body(i, c):
+                    # poke x with the carry so each iteration re-executes;
+                    # the induced whole-x copy is ~2 MB-scale vs the GB-scale
+                    # value stream, <1% overhead
+                    xi = xx.at[0, 0].add(c * 1e-12)
+                    return c + jnp.sum(op(vv, xi)[0], dtype=jnp.float32) * 1e-12
+                return jax.lax.fori_loop(0, kk, body, jnp.float32(0.0))
+            return lambda: fn(values, x, k)
+
         t0 = time.time()
-        y = fn()
-        sync(y)
-        compile_s = time.time() - t0
-        iters = 20
-        t0 = time.time()
-        for _ in range(iters):
-            y = fn()
-        sync(y)
-        dt = (time.time() - t0) / iters
-        results[name] = (y, dt)
-        gb_s = bytes_hbm / dt / 1e9
+        per_iter, totals = slope_time(make_fn, trips=(4, 8, 16))
+        results[name] = (op(values, x), per_iter)
+        gb_s = bytes_hbm / per_iter / 1e9
         print(
-            "{:>10}: compile {:.1f}s, {:.3f} ms/iter, {:.0f} GB/s effective".format(
-                name, compile_s, dt * 1e3, gb_s
+            "{:>10}: {:.3f} ms/iter (slope; totals {} ms), {:.0f} GB/s effective, wall {:.0f}s".format(
+                name, per_iter * 1e3,
+                "/".join("{:.0f}".format(t * 1e3) for t in totals), gb_s,
+                time.time() - t0,
             ),
             file=sys.stderr,
         )

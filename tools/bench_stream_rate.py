@@ -1,4 +1,12 @@
-"""Measure achievable HBM->VMEM streaming bandwidth through a Pallas grid.
+"""[SUPERSEDED — absolute GB/s numbers here are latency artifacts.]
+
+The ~100-150 GB/s readings this bench produced were dominated by the relay's
+~28 ms dispatch+sync round trip; the corrected slope-method measurement
+(tools/bench_hbm_peak.py, docs/DESIGN.md §9) shows Pallas grid reads at
+~740 GB/s, i.e. at the chip's real ceiling. Kept for the relative block-size
+comparisons only.
+
+Measure achievable HBM->VMEM streaming bandwidth through a Pallas grid.
 
 The node-conditioned weight stream is the hard floor of the dense encoder
 (tools/bench_node_dots.py): one pipelined input stream measured only
