@@ -52,6 +52,12 @@ def main():
     model = get_model(config, feature)
     executor = get_executor(config, model, feature)
 
+    import functools
+
+    import jax as _jax
+
+    from tools.timing import slope_time
+
     results = {}
     for b in (1, 16):
         x = test_loader.x[:b]
@@ -59,14 +65,30 @@ def main():
         out = executor._predict_step(executor.params, x)
         float(jnp.sum(out))
         results["cold_ms_b{}".format(b)] = round((time.time() - t0) * 1e3, 1)
+        # host-loop rate: includes the relay's per-dispatch overhead, i.e.
+        # an upper bound on per-request service time through THIS relay
         iters = 50
         t0 = time.time()
         for _ in range(iters):
             out = executor._predict_step(executor.params, x)
         float(jnp.sum(out))
         warm = (time.time() - t0) / iters
-        results["warm_ms_b{}".format(b)] = round(warm * 1e3, 2)
+        results["dispatch_ms_b{}".format(b)] = round(warm * 1e3, 2)
         results["samples_per_s_b{}".format(b)] = round(b / warm, 1)
+
+        # true on-device latency via the latency-cancelling slope method
+        # (docs/DESIGN.md §9): chained predicts, carry poked into the input
+        def make_fn(k, xx=x):
+            @functools.partial(_jax.jit, static_argnums=1)
+            def fn(xa, kk):
+                def body(i, c):
+                    out = executor.model.apply(executor.params, xa.at[0, 0, 0, 0].add(c * 1e-12), train=False)
+                    return c + jnp.sum(out, dtype=jnp.float32) * 1e-12
+                return _jax.lax.fori_loop(0, kk, body, jnp.float32(0.0))
+            return lambda: fn(xx, k)
+
+        per_iter, _totals = slope_time(make_fn, trips=(4, 8, 16))
+        results["device_ms_b{}".format(b)] = round(per_iter * 1e3, 2)
 
     # sustained: whole test set in one scan program
     perm = jnp.asarray(test_loader.ordered_permutation())
