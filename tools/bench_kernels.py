@@ -4,6 +4,10 @@ BASELINE.json config 4: ~50k-node spatial power-law graph, single chip. Reports
 effective edge throughput (edges = nonzero entries; block-granular compute
 also counts padded zeros — both are printed).
 
+Timing uses the latency-cancelling slope method (tools/timing.py,
+docs/DESIGN.md §9); the earlier host-loop numbers were inflated by the
+relay's per-dispatch overhead.
+
 Usage: python tools/bench_kernels.py [num_nodes] [avg_degree] [feat]
 """
 
@@ -52,63 +56,56 @@ def main():
         # chips where block_until_ready can return before remote completion.
         return float(jnp.sum(arr[0]))
 
-    # --- SpMM ---
-    t0 = time.time()
-    y = spmm(values, row_of, col_of, x)
-    sync(y)
-    compile_s = time.time() - t0
-    iters = 20
-    t0 = time.time()
-    for _ in range(iters):
-        y = spmm(values, row_of, col_of, x)
-    sync(y)
-    spmm_s = (time.time() - t0) / iters
-    spmm_edges_s = graph.nnz_edges / spmm_s
-    spmm_block_edges_s = graph.nnz_blocks * graph.block**2 / spmm_s
-    spmm_gflops = 2 * graph.nnz_blocks * graph.block**2 * feat / spmm_s / 1e9
-    print(
-        "SpMM: compile {:.1f}s, {:.3f} ms/iter, {:.3g} edges/s ({:.3g} block-edges/s, {:.0f} GFLOP/s)".format(
-            compile_s, spmm_s * 1e3, spmm_edges_s, spmm_block_edges_s, spmm_gflops
-        ),
-        file=sys.stderr,
-    )
+    import functools
 
-    # --- SpMM bf16 tiles (f32 accumulation) ---
+    from tools.timing import slope_time
+
+    def slope_op(label, op, big, dense, bytes_moved, flops):
+        """Slope-time op(big, dense_poked); returns per-iter seconds."""
+        def make_fn(k):
+            @functools.partial(jax.jit, static_argnums=2)
+            def fn(vv, xx, kk):
+                def body(i, c):
+                    xi = xx.at[0, 0].add((c * 1e-12).astype(xx.dtype))
+                    return c + jnp.sum(op(vv, xi)[0], dtype=jnp.float32) * 1e-12
+                return jax.lax.fori_loop(0, kk, body, jnp.float32(0.0))
+            return lambda: fn(big, dense, k)
+
+        per_iter, totals = slope_time(make_fn, trips=(4, 8, 16))
+        print(
+            "{}: {:.3f} ms/iter (totals {} ms), {:.3g} edges/s, {:.0f} GFLOP/s, {:.0f} GB/s effective".format(
+                label, per_iter * 1e3,
+                "/".join("{:.0f}".format(t * 1e3) for t in totals),
+                graph.nnz_edges / per_iter, flops / per_iter / 1e9,
+                bytes_moved / per_iter / 1e9,
+            ),
+            file=sys.stderr,
+        )
+        return per_iter
+
+    spmm_flops = 2 * graph.nnz_blocks * graph.block**2 * feat
+    spmm_bytes = graph.nnz_blocks * (graph.block**2 + graph.block * feat) * 4
+    spmm_s = slope_op(
+        "SpMM f32", lambda vv, xx: spmm(vv, row_of, col_of, xx),
+        values, x, spmm_bytes, spmm_flops)
+    spmm_edges_s = graph.nnz_edges / spmm_s
+    spmm_gflops = spmm_flops / spmm_s / 1e9
+
     values16 = values.astype(jnp.bfloat16)
     x16 = x.astype(jnp.bfloat16)
-    y = spmm(values16, row_of, col_of, x16)
-    sync(y)
-    t0 = time.time()
-    for _ in range(iters):
-        y = spmm(values16, row_of, col_of, x16)
-    sync(y)
-    spmm16_s = (time.time() - t0) / iters
-    print(
-        "SpMM bf16: {:.3f} ms/iter ({:.2f}x vs f32, {:.0f} GFLOP/s)".format(
-            spmm16_s * 1e3, spmm_s / spmm16_s,
-            2 * graph.nnz_blocks * graph.block**2 * feat / spmm16_s / 1e9,
-        ),
-        file=sys.stderr,
-    )
+    spmm16_s = slope_op(
+        "SpMM bf16", lambda vv, xx: spmm(vv, row_of, col_of, xx),
+        values16, x16, spmm_bytes // 2, spmm_flops)
+    print("  SpMM bf16 speedup vs f32: {:.2f}x".format(spmm_s / spmm16_s),
+          file=sys.stderr)
 
-    # --- SDDMM ---
-    t0 = time.time()
-    v2 = sddmm_relu(e1, e2, row_of, col_of)
-    sync(v2)
-    compile2_s = time.time() - t0
-    t0 = time.time()
-    for _ in range(iters):
-        v2 = sddmm_relu(e1, e2, row_of, col_of)
-    sync(v2)
-    sddmm_s = (time.time() - t0) / iters
+    sddmm_flops = 2 * graph.nnz_blocks * graph.block**2 * d_adj
+    sddmm_bytes = graph.nnz_blocks * graph.block**2 * 4  # values written
+    sddmm_s = slope_op(
+        "SDDMM f32", lambda ee, e1x: sddmm_relu(e1x, e2, row_of, col_of),
+        e2, e1, sddmm_bytes, sddmm_flops)
     sddmm_edges_s = graph.nnz_edges / sddmm_s
-    sddmm_gflops = 2 * graph.nnz_blocks * graph.block**2 * d_adj / sddmm_s / 1e9
-    print(
-        "SDDMM: compile {:.1f}s, {:.3f} ms/iter, {:.3g} edges/s ({:.0f} GFLOP/s)".format(
-            compile2_s, sddmm_s * 1e3, sddmm_edges_s, sddmm_gflops
-        ),
-        file=sys.stderr,
-    )
+    sddmm_gflops = sddmm_flops / sddmm_s / 1e9
 
     print(json.dumps({
         "metric": "spmm_edges_per_second_50k",
