@@ -77,6 +77,55 @@ def rcm_order(src: np.ndarray, dst: np.ndarray, num_nodes: int) -> np.ndarray:
     return np.asarray(reverse_cuthill_mckee(sym, symmetric_mode=True), dtype=np.int64)
 
 
+def community_order(
+    src: np.ndarray,
+    dst: np.ndarray,
+    num_nodes: int,
+    rounds: int = 10,
+) -> np.ndarray:
+    """Community-clustering node order via synchronous label propagation.
+
+    RCM minimizes bandwidth, which is the right objective for spatially-local
+    graphs; for hub-dominated / community-structured graphs (power-law
+    BASELINE configs 4-5) grouping each community's nodes into contiguous id
+    ranges concentrates intra-community edges into dense diagonal tiles that
+    RCM's breadth-first layering splits apart. Pure-numpy label propagation:
+    each round every node adopts the most frequent label among its
+    (symmetrized) neighbors — O(E log E) per round via sorted run counting,
+    a few seconds at 16M edges; early-exits on convergence. Returns old node ids in new order
+    (perm[new] = old): communities sorted by size (largest first), nodes
+    within a community by degree (hubs lead their tile rows).
+    """
+    u = np.concatenate([src, dst]).astype(np.int64)
+    v = np.concatenate([dst, src]).astype(np.int64)
+    labels = np.arange(num_nodes, dtype=np.int64)
+    degree = np.bincount(u, minlength=num_nodes)
+    for _ in range(rounds):
+        key = u * num_nodes + labels[v]
+        uniq, counts = np.unique(key, return_counts=True)
+        uu = uniq // num_nodes
+        ll = uniq % num_nodes
+        # per node, the neighbor label with the highest count: stable sort by
+        # (node, count) and keep the last run entry per node
+        order = np.lexsort((counts, uu))
+        uu_s, ll_s = uu[order], ll[order]
+        last = np.r_[uu_s[1:] != uu_s[:-1], True]
+        new_labels = labels.copy()
+        new_labels[uu_s[last]] = ll_s[last]
+        if np.array_equal(new_labels, labels):
+            break
+        labels = new_labels
+    # canonicalize labels to 0..C-1, order communities by size descending
+    _, labels = np.unique(labels, return_inverse=True)
+    sizes = np.bincount(labels)
+    comm_rank = np.empty_like(sizes)
+    comm_rank[np.argsort(-sizes, kind="stable")] = np.arange(len(sizes))
+    return np.lexsort((-degree, comm_rank[labels])).astype(np.int64)
+
+
+_ORDERINGS = {"rcm": rcm_order, "community": community_order}
+
+
 def apply_node_order(x: np.ndarray, perm: np.ndarray, axis: int = 0) -> np.ndarray:
     """Reorder a feature array's node axis to match a permuted graph
     (x_new[i] = x_old[perm[i]]); pads beyond len(perm) are left in place."""
@@ -106,13 +155,20 @@ def bsr_from_coo(
 ) -> BSRGraph:
     """Build BSR from COO edges (duplicate edges accumulate).
 
-    reorder='rcm' relabels nodes by reverse Cuthill-McKee before tiling —
-    use for scattered graphs where raw tiles are nearly empty; the applied
+    reorder='rcm' relabels nodes by reverse Cuthill-McKee before tiling
+    (bandwidth-minimizing — best for spatially-local graphs);
+    reorder='community' groups label-propagation communities into contiguous
+    id ranges (best for hub/community-structured power-law graphs). Use for
+    scattered graphs where raw tiles are nearly empty; the applied
     permutation is recorded on the graph (reorder features with
     apply_node_order)."""
     perm = None
-    if reorder == "rcm":
-        perm = rcm_order(src, dst, num_nodes)
+    if reorder is not None:
+        if reorder not in _ORDERINGS:
+            raise ValueError(
+                "unknown reorder {!r}; options: {}".format(
+                    reorder, sorted(_ORDERINGS)))
+        perm = _ORDERINGS[reorder](src, dst, num_nodes)
         inv = np.empty(num_nodes, np.int64)
         inv[perm] = np.arange(num_nodes)
         src, dst = inv[src], inv[dst]
