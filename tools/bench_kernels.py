@@ -102,7 +102,7 @@ def main():
     sddmm_flops = 2 * graph.nnz_blocks * graph.block**2 * d_adj
     sddmm_bytes = graph.nnz_blocks * graph.block**2 * 4  # values written
     sddmm_s = slope_op(
-        "SDDMM f32", lambda ee, e1x: sddmm_relu(e1x, e2, row_of, col_of),
+        "SDDMM f32", lambda ee, e1x: sddmm_relu(e1x, ee, row_of, col_of),
         e2, e1, sddmm_bytes, sddmm_flops)
     sddmm_edges_s = graph.nnz_edges / sddmm_s
     sddmm_gflops = sddmm_flops / sddmm_s / 1e9
