@@ -24,6 +24,11 @@ TASK_CONFIG = {
             "GRU",
             "FNN",
             "Seq2Seq",
+            "AGCRN",
+            "TGCN",
+            "STGCN",
+            "GWNET",
+            "DCRNN",
         ],
         "models": {
             "MultiATGCN": {
@@ -59,6 +64,31 @@ TASK_CONFIG = {
                 "evaluator": "TrafficStateEvaluator",
             },
             "Seq2Seq": {
+                "dataset_class": "TrafficStatePointDataset",
+                "executor": "TrafficStateExecutor",
+                "evaluator": "TrafficStateEvaluator",
+            },
+            "AGCRN": {
+                "dataset_class": "TrafficStatePointDataset",
+                "executor": "TrafficStateExecutor",
+                "evaluator": "TrafficStateEvaluator",
+            },
+            "TGCN": {
+                "dataset_class": "TrafficStatePointDataset",
+                "executor": "TrafficStateExecutor",
+                "evaluator": "TrafficStateEvaluator",
+            },
+            "STGCN": {
+                "dataset_class": "TrafficStatePointDataset",
+                "executor": "TrafficStateExecutor",
+                "evaluator": "TrafficStateEvaluator",
+            },
+            "GWNET": {
+                "dataset_class": "TrafficStatePointDataset",
+                "executor": "TrafficStateExecutor",
+                "evaluator": "TrafficStateEvaluator",
+            },
+            "DCRNN": {
                 "dataset_class": "TrafficStatePointDataset",
                 "executor": "TrafficStateExecutor",
                 "evaluator": "TrafficStateEvaluator",
@@ -129,6 +159,43 @@ MODEL_DEFAULTS.update(
         },
         "traffic_state_pred/Seq2Seq": {
             "rnn_units": 64,
+            "use_3tu": False, "batch_size": 16, "scaler": "standard",
+            "ext_scaler": "none", "learner": "adam", "learning_rate": 0.003,
+            "clip_grad_norm": True, "max_grad_norm": 5,
+        },
+        # Graph baselines (reference comparison set; AGCRN per its paper
+        # defaults, TGCN over the predefined normalized graph)
+        "traffic_state_pred/AGCRN": {
+            "rnn_units": 64, "num_layers": 2, "embed_dim_node": 10,
+            "cheb_order": 2,
+            "use_3tu": False, "batch_size": 16, "scaler": "standard",
+            "ext_scaler": "none", "learner": "adam", "learning_rate": 0.003,
+            "clip_grad_norm": True, "max_grad_norm": 5,
+        },
+        "traffic_state_pred/TGCN": {
+            "rnn_units": 64,
+            "use_3tu": False, "batch_size": 16, "scaler": "standard",
+            "ext_scaler": "none", "learner": "adam", "learning_rate": 0.003,
+            "clip_grad_norm": True, "max_grad_norm": 5,
+        },
+        "traffic_state_pred/STGCN": {
+            "Ks": 3, "Kt": 3, "dropout": 0.0,
+            "use_3tu": False, "batch_size": 16, "scaler": "standard",
+            "ext_scaler": "none", "learner": "adam", "learning_rate": 0.003,
+            "clip_grad_norm": True, "max_grad_norm": 5,
+        },
+        "traffic_state_pred/DCRNN": {
+            "rnn_units": 64, "num_rnn_layers": 2, "max_diffusion_step": 2,
+            "filter_type": "dual_random_walk",
+            "use_3tu": False, "batch_size": 16, "scaler": "standard",
+            "ext_scaler": "none", "learner": "adam", "learning_rate": 0.003,
+            "clip_grad_norm": True, "max_grad_norm": 5,
+        },
+        "traffic_state_pred/GWNET": {
+            "residual_channels": 32, "dilation_channels": 32,
+            "skip_channels": 256, "end_channels": 512,
+            "blocks": 4, "layers": 2, "diffusion_order": 2,
+            "adpadj": "adaptive", "embed_dim_adj": 10, "dropout": 0.3,
             "use_3tu": False, "batch_size": 16, "scaler": "standard",
             "ext_scaler": "none", "learner": "adam", "learning_rate": 0.003,
             "clip_grad_norm": True, "max_grad_norm": 5,

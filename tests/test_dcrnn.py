@@ -1,0 +1,101 @@
+"""DCRNN: shapes, gradients, learning, pipeline.
+
+Reference counterpart: task_config.json:96 allows the name; the trimmed repo
+ships no implementation (multistgraph_tpu/models/dcrnn.py is clean-room per
+Li et al., ICLR 2018).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from multistgraph_tpu.graph.laplacian import supports_by_filter_type
+from multistgraph_tpu.models.dcrnn import DCRNN
+
+B, TIN, TOUT, N, F = 4, 12, 3, 5, 2
+
+
+def _x(seed=0):
+    return jnp.asarray(
+        np.random.default_rng(seed).normal(size=(B, TIN, N, F)).astype(np.float32))
+
+
+def _supports(seed=1):
+    rng = np.random.default_rng(seed)
+    a = (rng.random((N, N)) < 0.5).astype(np.float32)
+    np.fill_diagonal(a, 0.0)
+    return np.stack(supports_by_filter_type(a, "dual_random_walk"))
+
+
+def _model(**kw):
+    kwargs = dict(supports=_supports(), output_window=TOUT, output_dim=1,
+                  input_dim=F, hidden_dim=8, num_layers=2, max_diffusion_step=2)
+    kwargs.update(kw)
+    return DCRNN(**kwargs)
+
+
+def test_dcrnn_shapes_and_grads():
+    model = _model()
+    x = _x()
+    params = model.init(jax.random.PRNGKey(0), x)
+    out = model.apply(params, x)
+    assert out.shape == (B, TOUT, N, 1)
+    assert np.isfinite(np.asarray(out)).all()
+    g = jax.grad(lambda p: jnp.mean(jnp.square(model.apply(p, x))))(params)
+    per_param = {k: float(jnp.abs(v).sum()) for k, v in g["params"].items()}
+    assert all(np.isfinite(v) for v in per_param.values())
+    # encoder AND decoder cells both receive gradient
+    assert per_param["e0_gate_kernel"] > 0 and per_param["d0_gate_kernel"] > 0
+
+
+def test_dcrnn_diffusion_width_scales_with_k():
+    """Parameter width is (S*K+1)*dim_in per gate."""
+    x = _x()
+    for k in (1, 3):
+        model = _model(max_diffusion_step=k)
+        params = model.init(jax.random.PRNGKey(0), x)
+        kern = params["params"]["e0_gate_kernel"]
+        assert kern.shape[0] == (2 * k + 1) * (F + 8)
+
+
+def test_dcrnn_learns():
+    import optax
+
+    model = _model(num_layers=1)
+    x = _x()
+    y = jnp.tile(x[:, -1:, :, :1], (1, TOUT, 1, 1))
+    params = model.init(jax.random.PRNGKey(0), x)
+    tx = optax.adam(1e-2)
+    opt = tx.init(params)
+
+    def loss_fn(p):
+        return jnp.mean(jnp.square(model.apply(p, x) - y))
+
+    losses = []
+    for _ in range(30):
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt = tx.update(grads, opt, params)
+        params = optax.apply_updates(params, updates)
+        losses.append(float(loss))
+    assert losses[-1] < 0.5 * losses[0], losses[::6]
+
+
+def test_dcrnn_pipeline(synthetic_dataset, tmp_path):
+    from multistgraph_tpu.pipeline import run_model
+
+    result = run_model(
+        task="traffic_state_pred", model_name="DCRNN", dataset_name="SYN_SMALL",
+        other_args={
+            "data_dir": synthetic_dataset,
+            "cache_dir": str(tmp_path / "cache"),
+            "output_dir": str(tmp_path / "out"),
+            "exp_id": "dcrnn",
+            "max_epoch": 1, "saved_model": False, "load_best_epoch": False,
+            "input_window": 12, "output_window": 3,
+            "load_external": True, "load_dynamic": False, "add_time_in_day": True,
+            "groupstd": True, "batch_size": 4, "train_rate": 0.7, "eval_rate": 0.15,
+            "rnn_units": 8, "use_early_stop": False, "seed": 0,
+        },
+    )
+    assert np.isfinite(result["masked_MAE"]).all()
