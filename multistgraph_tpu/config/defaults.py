@@ -29,6 +29,9 @@ TASK_CONFIG = {
             "STGCN",
             "GWNET",
             "DCRNN",
+            "ASTGCN",
+            "MSTGCN",
+            "MTGNN",
         ],
         "models": {
             "MultiATGCN": {
@@ -89,6 +92,21 @@ TASK_CONFIG = {
                 "evaluator": "TrafficStateEvaluator",
             },
             "DCRNN": {
+                "dataset_class": "TrafficStatePointDataset",
+                "executor": "TrafficStateExecutor",
+                "evaluator": "TrafficStateEvaluator",
+            },
+            "ASTGCN": {
+                "dataset_class": "TrafficStatePointDataset",
+                "executor": "TrafficStateExecutor",
+                "evaluator": "TrafficStateEvaluator",
+            },
+            "MSTGCN": {
+                "dataset_class": "TrafficStatePointDataset",
+                "executor": "TrafficStateExecutor",
+                "evaluator": "TrafficStateEvaluator",
+            },
+            "MTGNN": {
                 "dataset_class": "TrafficStatePointDataset",
                 "executor": "TrafficStateExecutor",
                 "evaluator": "TrafficStateEvaluator",
@@ -187,6 +205,27 @@ MODEL_DEFAULTS.update(
         "traffic_state_pred/DCRNN": {
             "rnn_units": 64, "num_rnn_layers": 2, "max_diffusion_step": 2,
             "filter_type": "dual_random_walk",
+            "use_3tu": False, "batch_size": 16, "scaler": "standard",
+            "ext_scaler": "none", "learner": "adam", "learning_rate": 0.003,
+            "clip_grad_norm": True, "max_grad_norm": 5,
+        },
+        "traffic_state_pred/ASTGCN": {
+            "nb_block": 2, "nb_filter": 64, "cheb_order": 3,
+            "use_3tu": False, "batch_size": 16, "scaler": "standard",
+            "ext_scaler": "none", "learner": "adam", "learning_rate": 0.003,
+            "clip_grad_norm": True, "max_grad_norm": 5,
+        },
+        "traffic_state_pred/MSTGCN": {
+            "nb_block": 2, "nb_filter": 64, "cheb_order": 3,
+            "use_3tu": False, "batch_size": 16, "scaler": "standard",
+            "ext_scaler": "none", "learner": "adam", "learning_rate": 0.003,
+            "clip_grad_norm": True, "max_grad_norm": 5,
+        },
+        "traffic_state_pred/MTGNN": {
+            "embed_dim_node": 40, "subgraph_size": 20, "conv_channels": 32,
+            "residual_channels": 32, "skip_channels": 64, "end_channels": 128,
+            "layers": 3, "dilation_exponential": 1, "gcn_depth": 2,
+            "tanhalpha": 3.0, "propalpha": 0.05, "dropout": 0.3,
             "use_3tu": False, "batch_size": 16, "scaler": "standard",
             "ext_scaler": "none", "learner": "adam", "learning_rate": 0.003,
             "clip_grad_norm": True, "max_grad_norm": 5,

@@ -7,10 +7,12 @@ here it's an explicit registry of builder functions
 
 from typing import Callable, Dict
 
+from multistgraph_tpu.models.astgcn import build_astgcn, build_mstgcn
 from multistgraph_tpu.models.baselines import build_fnn, build_rnn, build_seq2seq
 from multistgraph_tpu.models.conv_baselines import build_gwnet, build_stgcn
 from multistgraph_tpu.models.dcrnn import build_dcrnn
 from multistgraph_tpu.models.graph_baselines import build_agcrn, build_tgcn
+from multistgraph_tpu.models.mtgnn import build_mtgnn
 from multistgraph_tpu.models.multi_atgcn import build_multi_atgcn
 from multistgraph_tpu.models.sparse_atgcn import build_sparse_atgcn_from_feature
 
@@ -25,6 +27,9 @@ MODEL_REGISTRY: Dict[str, Callable] = {
     "STGCN": build_stgcn,
     "GWNET": build_gwnet,
     "DCRNN": build_dcrnn,
+    "ASTGCN": build_astgcn,
+    "MSTGCN": build_mstgcn,
+    "MTGNN": build_mtgnn,
 }
 
 
