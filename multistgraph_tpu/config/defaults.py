@@ -32,6 +32,9 @@ TASK_CONFIG = {
             "ASTGCN",
             "MSTGCN",
             "MTGNN",
+            "STSGCN",
+            "STTN",
+            "GMAN",
         ],
         "models": {
             "MultiATGCN": {
@@ -107,6 +110,21 @@ TASK_CONFIG = {
                 "evaluator": "TrafficStateEvaluator",
             },
             "MTGNN": {
+                "dataset_class": "TrafficStatePointDataset",
+                "executor": "TrafficStateExecutor",
+                "evaluator": "TrafficStateEvaluator",
+            },
+            "STSGCN": {
+                "dataset_class": "TrafficStatePointDataset",
+                "executor": "TrafficStateExecutor",
+                "evaluator": "TrafficStateEvaluator",
+            },
+            "STTN": {
+                "dataset_class": "TrafficStatePointDataset",
+                "executor": "TrafficStateExecutor",
+                "evaluator": "TrafficStateEvaluator",
+            },
+            "GMAN": {
                 "dataset_class": "TrafficStatePointDataset",
                 "executor": "TrafficStateExecutor",
                 "evaluator": "TrafficStateEvaluator",
@@ -205,6 +223,25 @@ MODEL_DEFAULTS.update(
         "traffic_state_pred/DCRNN": {
             "rnn_units": 64, "num_rnn_layers": 2, "max_diffusion_step": 2,
             "filter_type": "dual_random_walk",
+            "use_3tu": False, "batch_size": 16, "scaler": "standard",
+            "ext_scaler": "none", "learner": "adam", "learning_rate": 0.003,
+            "clip_grad_norm": True, "max_grad_norm": 5,
+        },
+        "traffic_state_pred/STSGCN": {
+            "rnn_units": 64, "gcn_depth": 3, "num_layers": 2, "stsg_window": 3,
+            "use_3tu": False, "batch_size": 16, "scaler": "standard",
+            "ext_scaler": "none", "learner": "adam", "learning_rate": 0.003,
+            "clip_grad_norm": True, "max_grad_norm": 5,
+        },
+        "traffic_state_pred/STTN": {
+            "rnn_units": 64, "num_heads": 4, "num_blocks": 2, "ffn_dim": 128,
+            "dropout": 0.0,
+            "use_3tu": False, "batch_size": 16, "scaler": "standard",
+            "ext_scaler": "none", "learner": "adam", "learning_rate": 0.003,
+            "clip_grad_norm": True, "max_grad_norm": 5,
+        },
+        "traffic_state_pred/GMAN": {
+            "num_heads": 4, "head_dim": 8, "num_blocks": 1, "se_dim": 16,
             "use_3tu": False, "batch_size": 16, "scaler": "standard",
             "ext_scaler": "none", "learner": "adam", "learning_rate": 0.003,
             "clip_grad_norm": True, "max_grad_norm": 5,

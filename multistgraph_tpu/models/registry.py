@@ -11,10 +11,13 @@ from multistgraph_tpu.models.astgcn import build_astgcn, build_mstgcn
 from multistgraph_tpu.models.baselines import build_fnn, build_rnn, build_seq2seq
 from multistgraph_tpu.models.conv_baselines import build_gwnet, build_stgcn
 from multistgraph_tpu.models.dcrnn import build_dcrnn
+from multistgraph_tpu.models.gman import build_gman
 from multistgraph_tpu.models.graph_baselines import build_agcrn, build_tgcn
 from multistgraph_tpu.models.mtgnn import build_mtgnn
 from multistgraph_tpu.models.multi_atgcn import build_multi_atgcn
 from multistgraph_tpu.models.sparse_atgcn import build_sparse_atgcn_from_feature
+from multistgraph_tpu.models.stsgcn import build_stsgcn
+from multistgraph_tpu.models.sttn import build_sttn
 
 MODEL_REGISTRY: Dict[str, Callable] = {
     "MultiATGCN": build_multi_atgcn,
@@ -30,6 +33,9 @@ MODEL_REGISTRY: Dict[str, Callable] = {
     "ASTGCN": build_astgcn,
     "MSTGCN": build_mstgcn,
     "MTGNN": build_mtgnn,
+    "STSGCN": build_stsgcn,
+    "STTN": build_sttn,
+    "GMAN": build_gman,
 }
 
 
