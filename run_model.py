@@ -14,7 +14,9 @@ from multistgraph_tpu.utils.arguments import add_general_args, collect_other_arg
 if __name__ == "__main__":
     parser = argparse.ArgumentParser()
     parser.add_argument("--task", type=str, default="traffic_state_pred")
-    parser.add_argument("--model", type=str, default="MultiATGCN")
+    # one or more model names — the reference's entry loops over a model
+    # list in one invocation (ref: run_model.py:6-7,28)
+    parser.add_argument("--model", type=str, nargs="+", default=["MultiATGCN"])
     parser.add_argument("--dataset", type=str, required=True)
     parser.add_argument("--config_file", type=str, default=None)
     parser.add_argument("--saved_model", type=str2bool, default=True)
@@ -28,12 +30,13 @@ if __name__ == "__main__":
     args = parser.parse_args()
 
     other_args = collect_other_args(args)
-    run_model(
-        task=args.task,
-        model_name=args.model,
-        dataset_name=args.dataset,
-        config_file=args.config_file,
-        saved_model=args.saved_model,
-        train=args.train,
-        other_args=other_args,
-    )
+    for model_name in args.model:
+        run_model(
+            task=args.task,
+            model_name=model_name,
+            dataset_name=args.dataset,
+            config_file=args.config_file,
+            saved_model=args.saved_model,
+            train=args.train,
+            other_args=dict(other_args),
+        )
