@@ -35,6 +35,8 @@ TASK_CONFIG = {
             "STSGCN",
             "STTN",
             "GMAN",
+            "STGODE",
+            "STGNCDE",
         ],
         "models": {
             "MultiATGCN": {
@@ -125,6 +127,16 @@ TASK_CONFIG = {
                 "evaluator": "TrafficStateEvaluator",
             },
             "GMAN": {
+                "dataset_class": "TrafficStatePointDataset",
+                "executor": "TrafficStateExecutor",
+                "evaluator": "TrafficStateEvaluator",
+            },
+            "STGODE": {
+                "dataset_class": "TrafficStatePointDataset",
+                "executor": "TrafficStateExecutor",
+                "evaluator": "TrafficStateEvaluator",
+            },
+            "STGNCDE": {
                 "dataset_class": "TrafficStatePointDataset",
                 "executor": "TrafficStateExecutor",
                 "evaluator": "TrafficStateEvaluator",
@@ -242,6 +254,20 @@ MODEL_DEFAULTS.update(
         },
         "traffic_state_pred/GMAN": {
             "num_heads": 4, "head_dim": 8, "num_blocks": 1, "se_dim": 16,
+            "use_3tu": False, "batch_size": 16, "scaler": "standard",
+            "ext_scaler": "none", "learner": "adam", "learning_rate": 0.003,
+            "clip_grad_norm": True, "max_grad_norm": 5,
+        },
+        "traffic_state_pred/STGODE": {
+            "rnn_units": 64, "kt": 3, "stgode_blocks": 3, "ode_steps": 6,
+            "stgode_head_dim": 128, "stgode_dtw_band": 4, "stgode_sparsity": 0.1,
+            "use_3tu": False, "batch_size": 16, "scaler": "standard",
+            "ext_scaler": "none", "learner": "adam", "learning_rate": 0.003,
+            "clip_grad_norm": True, "max_grad_norm": 5,
+        },
+        "traffic_state_pred/STGNCDE": {
+            "rnn_units": 64, "ncde_field_dim": 64, "embed_dim_node": 10,
+            "cheb_order": 2, "ncde_substeps": 1,
             "use_3tu": False, "batch_size": 16, "scaler": "standard",
             "ext_scaler": "none", "learner": "adam", "learning_rate": 0.003,
             "clip_grad_norm": True, "max_grad_norm": 5,

@@ -198,6 +198,7 @@ class TrafficStateDataset:
 
         self.feature_dim = x_train.shape[-1]
         self.ext_dim = self.feature_dim - self.output_dim
+        self.node_profiles = self._mean_daily_profiles(x_train)
         d = self.output_dim
         self.scaler = fit_scaler(self.scaler_type, x_train[..., :d], y_train[..., :d])
         self.ext_scaler = fit_scaler(self.ext_scaler_type, x_train[..., d:], y_train[..., d:])
@@ -236,6 +237,25 @@ class TrafficStateDataset:
         self.num_batches = loaders[0].num_batches
         return loaders
 
+    def _mean_daily_profiles(self, x_train: np.ndarray, bins: int = 24):
+        """Per-node mean daily profile of the first target channel, binned by
+        the fused time-in-day column (consumed by STGODE's semantic DTW
+        graph). None when no time-in-day channel exists."""
+        d = self.output_dim
+        if not self.add_time_in_day or x_train.shape[-1] <= d or not len(x_train):
+            return None
+        sub = x_train[:: max(1, len(x_train) // 512)]
+        n = sub.shape[2]
+        # time-in-day is global per timestep — read it off node 0
+        tod = np.clip((sub[:, :, 0, d] * bins).astype(int), 0, bins - 1).reshape(-1)
+        target = sub[..., 0].reshape(-1, n)  # (S*T, N)
+        profiles = np.zeros((n, bins), np.float64)
+        for b in range(bins):
+            mask = tod == b
+            if mask.any():
+                profiles[:, b] = target[mask].mean(axis=0)
+        return profiles.astype(np.float32)
+
     def get_data_feature(self) -> Dict:
         return {
             "scaler": self.scaler,
@@ -245,6 +265,7 @@ class TrafficStateDataset:
             "feature_dim": self.feature_dim,
             "output_dim": self.output_dim,
             "num_batches": self.num_batches,
+            "node_profiles": getattr(self, "node_profiles", None),
         }
 
 

@@ -16,6 +16,8 @@ from multistgraph_tpu.models.graph_baselines import build_agcrn, build_tgcn
 from multistgraph_tpu.models.mtgnn import build_mtgnn
 from multistgraph_tpu.models.multi_atgcn import build_multi_atgcn
 from multistgraph_tpu.models.sparse_atgcn import build_sparse_atgcn_from_feature
+from multistgraph_tpu.models.stgncde import build_stgncde
+from multistgraph_tpu.models.stgode import build_stgode
 from multistgraph_tpu.models.stsgcn import build_stsgcn
 from multistgraph_tpu.models.sttn import build_sttn
 
@@ -36,6 +38,8 @@ MODEL_REGISTRY: Dict[str, Callable] = {
     "STSGCN": build_stsgcn,
     "STTN": build_sttn,
     "GMAN": build_gman,
+    "STGODE": build_stgode,
+    "STGNCDE": build_stgncde,
 }
 
 

@@ -1,0 +1,167 @@
+"""STG-NCDE — Spatio-Temporal Graph Neural Controlled Differential Equation
+(clean-room).
+
+Paper-only comparison model: the reference paper's comparison set includes
+STG-NCDE (SURVEY.md §6; Implementation details.pdf p.1-2) but the repo
+ships no implementation. Implemented per Choi et al., AAAI 2022 ("Graph
+Neural Controlled Differential Equations for Traffic Forecasting") on the
+framework model API: (B, Tin, N, F) -> (B, Tout, N, output_dim).
+
+Two stacked CDEs driven by a control path X(t) interpolating the input
+series over t in [0, Tin-1]:
+
+  temporal:  dh/dt = f(h(t)) · Ẋ(t)        f: (B,N,Dh) -> (B,N,Dh,Fin)
+  spatial:   dz/dt = g(z(t)) · ḣ(t)        g: (B,N,Dh) -> (B,N,Dh,Dh)
+
+f is a shared per-node MLP (tanh head, the paper's FinalTanh); g runs an
+AGCRN-style adaptive Chebyshev graph convolution — learned node embeddings
+E, adjacency softmax(relu(E Eᵀ)), node-conditioned weight pools — so
+spatial mixing happens inside the vector field. The horizon head maps
+z(Tin-1) to all output steps at once.
+
+TPU design: both CDEs integrate jointly in ONE ``lax.scan`` over
+(Tin-1) × substeps RK4 stages — static shapes, constant memory in time, and
+every stage is batched MXU matmuls ((N,N) graph products + weight-pool
+einsums). Ẋ(t) is piecewise constant within each interval, so RK4 stages
+reuse one gathered slope per step.
+
+Deviations (documented): the control path is piecewise-LINEAR (Ẋ piecewise
+constant) rather than the official natural cubic spline — torchcde's
+linear mode, same information content, removes a (T×T) spline solve and a
+4x coefficient footprint; and the two CDEs integrate jointly in lockstep
+(the official code also solves them as one augmented system).
+"""
+
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from multistgraph_tpu.models.initializers import dense_kernel_init, torch_style_init
+
+
+class STGNCDE(nn.Module):
+    """Stacked temporal + spatial neural CDEs with an adaptive graph field."""
+
+    num_nodes: int
+    output_window: int
+    output_dim: int
+    input_dim: int = 1
+    hidden_dim: int = 64
+    field_dim: int = 64
+    embed_dim: int = 10
+    cheb_k: int = 2
+    substeps: int = 1
+
+    @property
+    def start_dim(self) -> int:
+        return 0
+
+    @property
+    def end_dim(self) -> int:
+        return self.output_dim
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        b, t, n, _f = x.shape
+        if t < 2:
+            raise ValueError("STG-NCDE needs at least 2 input steps")
+        dh, fin = self.hidden_dim, self.input_dim
+        xx = x[..., :fin]
+
+        # initial lifts h(0), z(0) from X(0) (paper eq. 7: FC of first obs)
+        w0h, b0h = self._lin("init_h", fin, dh)
+        w0z, b0z = self._lin("init_z", fin, dh)
+        h0 = xx[:, 0] @ w0h + b0h
+        z0 = xx[:, 0] @ w0z + b0z
+
+        # temporal field f: MLP, tanh head, outputs (Dh, Fin) per node
+        wf1, bf1 = self._lin("f1", dh, self.field_dim)
+        wf2, bf2 = self._lin("f2", self.field_dim, self.field_dim)
+        wf3, bf3 = self._lin("f3", self.field_dim, dh * fin)
+
+        def f(h):
+            y = jax.nn.relu(h @ wf1 + bf1)
+            y = jax.nn.relu(y @ wf2 + bf2)
+            y = jnp.tanh(y @ wf3 + bf3)
+            return y.reshape(b, n, dh, fin)
+
+        # spatial field g: adaptive Chebyshev graph conv with node pools,
+        # tanh head, outputs (Dh, Dh) per node
+        emb = self.param("node_emb",
+                         lambda k, s=(n, self.embed_dim): torch_style_init(k, s))
+        adapt = jax.nn.softmax(jax.nn.relu(emb @ emb.T), axis=1)
+        sups = [jnp.eye(n, dtype=x.dtype), adapt.astype(x.dtype)]
+        for _ in range(2, self.cheb_k):
+            sups.append(2.0 * sups[1] @ sups[-1] - sups[-2])
+        supports = jnp.stack(sups[: max(self.cheb_k, 1)])  # (K, N, N)
+        wg1, bg1 = self._lin("g1", dh, self.field_dim)
+        pool = self.param(
+            "g_pool",
+            lambda k, s=(self.embed_dim, self.cheb_k, self.field_dim, dh * dh):
+            torch_style_init(k, s))
+        bias_pool = self.param(
+            "g_bias_pool",
+            lambda k, s=(self.embed_dim, dh * dh): torch_style_init(k, s))
+        wpool = jnp.einsum("nd,dkio->nkio", emb, pool)
+        bpool = emb @ bias_pool
+
+        def g(z):
+            y = jax.nn.relu(z @ wg1 + bg1)
+            yg = jnp.einsum("knm,bmc->bknc", supports, y)
+            y = jnp.einsum("bkni,nkio->bno", yg, wpool) + bpool
+            return jnp.tanh(y).reshape(b, n, dh, dh)
+
+        def field(state, dxdt):
+            h, z = state
+            dhdt = jnp.einsum("bndf,bnf->bnd", f(h), dxdt)
+            dzdt = jnp.einsum("bnde,bne->bnd", g(z), dhdt)
+            return dhdt, dzdt
+
+        # piecewise-linear control: Ẋ constant on [i, i+1)
+        slopes = jnp.transpose(xx[:, 1:] - xx[:, :-1], (1, 0, 2, 3))  # (T-1,B,N,F)
+        dt = jnp.asarray(1.0 / self.substeps, x.dtype)
+
+        def step(state, dxdt):
+            def substep(st, _):
+                h, z = st
+                k1 = field((h, z), dxdt)
+                k2 = field((h + 0.5 * dt * k1[0], z + 0.5 * dt * k1[1]), dxdt)
+                k3 = field((h + 0.5 * dt * k2[0], z + 0.5 * dt * k2[1]), dxdt)
+                k4 = field((h + dt * k3[0], z + dt * k3[1]), dxdt)
+                h = h + (dt / 6.0) * (k1[0] + 2 * k2[0] + 2 * k3[0] + k4[0])
+                z = z + (dt / 6.0) * (k1[1] + 2 * k2[1] + 2 * k3[1] + k4[1])
+                return (h, z), None
+
+            st, _ = jax.lax.scan(substep, state, None, length=self.substeps)
+            return st, None
+
+        (hT, zT), _ = jax.lax.scan(step, (h0, z0), slopes)
+        del hT
+
+        wo, bo = self._lin("head", dh, self.output_window * self.output_dim)
+        out = zT @ wo + bo  # (B, N, Tout*D)
+        return out.reshape(b, n, self.output_window,
+                           self.output_dim).transpose(0, 2, 1, 3)
+
+    def _lin(self, name, dim_in, dim_out):
+        wk = self.param("{}_kernel".format(name),
+                        lambda k, s=(dim_in, dim_out): dense_kernel_init(k, s))
+        wb = self.param("{}_bias".format(name),
+                        lambda k, s=(dim_out,): jnp.zeros(s))
+        return wk, wb
+
+
+def build_stgncde(config, data_feature) -> STGNCDE:
+    return STGNCDE(
+        num_nodes=data_feature.get("num_nodes", 1),
+        output_window=config.get("output_window", 1),
+        output_dim=data_feature.get("output_dim", 1),
+        input_dim=data_feature.get("feature_dim", 1),
+        hidden_dim=config.get("rnn_units", 64),
+        field_dim=config.get("ncde_field_dim", 64),
+        embed_dim=config.get("embed_dim_node", 10),
+        cheb_k=config.get("cheb_order", 2),
+        substeps=config.get("ncde_substeps", 1),
+    )

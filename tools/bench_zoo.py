@@ -33,7 +33,8 @@ from multistgraph_tpu.models.registry import MODEL_REGISTRY
 from tools.timing import slope_time
 
 ZOO = ["RNN", "LSTM", "GRU", "FNN", "Seq2Seq", "TGCN", "AGCRN", "STGCN",
-       "GWNET", "DCRNN", "ASTGCN", "MSTGCN", "MTGNN", "STSGCN", "STTN", "GMAN"]
+       "GWNET", "DCRNN", "ASTGCN", "MSTGCN", "MTGNN", "STSGCN", "STTN",
+       "GMAN", "STGODE", "STGNCDE"]
 
 # DC-237 scale by default; override via env for smoke tests
 B = int(os.environ.get("BENCH_ZOO_BATCH", 16))
