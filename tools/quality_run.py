@@ -28,6 +28,13 @@ import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 
+import jax
+
+# The relay plugin pins the platform; honour an explicit JAX_PLATFORMS (e.g.
+# cpu for smoke tests) via config, which the plugin cannot override.
+if os.environ.get("JAX_PLATFORMS"):
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
 import numpy as np
 import pandas as pd
 
@@ -59,6 +66,11 @@ MODEL_VARIANTS = {
     "FNN": ("FNN", {"use_3tu": False}),
     "Seq2Seq": ("Seq2Seq", {"use_3tu": False}),
 }
+# the rest of the comparison-set zoo runs with its shipped defaults
+# (use_3tu=False, Point dataset bindings come from TASK_CONFIG)
+for _name in ("AGCRN", "TGCN", "STGCN", "GWNET", "DCRNN", "ASTGCN", "MSTGCN",
+              "MTGNN", "STSGCN", "STTN", "GMAN", "STGODE", "STGNCDE"):
+    MODEL_VARIANTS[_name] = (_name, {})
 
 
 def _base_args(shape, bench_root, max_epoch):
@@ -152,16 +164,26 @@ def main():
     ap.add_argument("--seeds", default="0,10,100,1000")
     ap.add_argument("--max_epoch", type=int, default=30)
     ap.add_argument("--models", default=",".join(MODEL_VARIANTS))
+    # smoke-test overrides (CPU-sized): shrink the graph/series; the dataset
+    # name gains a suffix so caches and result docs never mix with the real
+    # protocol's
+    ap.add_argument("--num_nodes", type=int, default=None)
+    ap.add_argument("--len_time", type=int, default=None)
     args = ap.parse_args()
 
-    shape = SHAPES[args.shape]
+    shape = dict(SHAPES[args.shape])
+    len_time = args.len_time or 24 * 151
+    if args.num_nodes:
+        shape["num_nodes"] = args.num_nodes
+    if args.num_nodes or args.len_time:
+        shape["name"] += "_S{}x{}".format(shape["num_nodes"], len_time)
     seeds = [int(s) for s in args.seeds.split(",")]
     bench_root = os.path.join(ROOT, "outputs", "bench_quality")
     raw_dir = os.path.join(bench_root, "raw_data")
     ds_name = shape["name"]
     if not os.path.exists(os.path.join(raw_dir, ds_name, "config.json")):
         make_synthetic_dataset(
-            raw_dir, ds_name, num_nodes=shape["num_nodes"], len_time=24 * 151,
+            raw_dir, ds_name, num_nodes=shape["num_nodes"], len_time=len_time,
             node_mean=shape["node_mean"], node_std=shape["node_std"], seed=42,
         )
 
