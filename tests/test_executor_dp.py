@@ -8,7 +8,7 @@ from multistgraph_tpu.executor import get_executor
 from multistgraph_tpu.models import get_model
 
 
-def _run(synthetic_dataset, tmp_path, tag, **overrides):
+def _run(synthetic_dataset, tmp_path, tag, model_name="MultiATGCN", **overrides):
     args = {
         "data_dir": synthetic_dataset,
         "cache_dir": str(tmp_path / "cache"),
@@ -25,7 +25,7 @@ def _run(synthetic_dataset, tmp_path, tag, **overrides):
         "seed": 0,
     }
     args.update(overrides)
-    config = load_config("traffic_state_pred", "MultiATGCN", "SYN_SMALL", other_args=args)
+    config = load_config("traffic_state_pred", model_name, "SYN_SMALL", other_args=args)
     dataset = get_dataset(config)
     train, val, _ = dataset.get_data()
     feature = dataset.get_data_feature()
@@ -39,6 +39,18 @@ def test_dp_matches_single_device(synthetic_dataset, tmp_path):
     best_single, _ = _run(synthetic_dataset, tmp_path, "single", data_parallel=False)
     best_dp, ex = _run(synthetic_dataset, tmp_path, "dp", data_parallel=True)
     assert ex._mesh is not None  # the 8-device CPU mesh was actually used
+    np.testing.assert_allclose(best_single, best_dp, rtol=1e-4)
+
+
+def test_dp_matches_single_device_zoo_model(synthetic_dataset, tmp_path):
+    """The DP scan path is model-agnostic: a zoo model (GWNET) trains
+    batch-sharded with numerics equal to single-device."""
+    kw = dict(model_name="GWNET", use_3tu=False, input_window=12)
+    best_single, _ = _run(synthetic_dataset, tmp_path, "zsingle",
+                          data_parallel=False, **kw)
+    best_dp, ex = _run(synthetic_dataset, tmp_path, "zdp",
+                       data_parallel=True, **kw)
+    assert ex._mesh is not None
     np.testing.assert_allclose(best_single, best_dp, rtol=1e-4)
 
 
