@@ -234,7 +234,7 @@ MODEL_DEFAULTS.update(
         },
         "traffic_state_pred/DCRNN": {
             "rnn_units": 64, "num_rnn_layers": 2, "max_diffusion_step": 2,
-            "filter_type": "dual_random_walk",
+            "filter_type": "dual_random_walk", "cl_decay_steps": 2000,
             "use_3tu": False, "batch_size": 16, "scaler": "standard",
             "ext_scaler": "none", "learner": "adam", "learning_rate": 0.003,
             "clip_grad_norm": True, "max_grad_norm": 5,

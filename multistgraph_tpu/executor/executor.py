@@ -34,7 +34,7 @@ from multistgraph_tpu.executor.optimizers import (
     build_optimizer,
     set_learning_rate,
 )
-from multistgraph_tpu.models.multi_atgcn import make_loss_fn
+from multistgraph_tpu.models.multi_atgcn import make_loss_fn, training_apply_kwargs
 from multistgraph_tpu.ops import losses
 from multistgraph_tpu.utils import ensure_dir, get_logger
 
@@ -177,8 +177,8 @@ class TrafficStateExecutor:
             lf = named[self.train_loss_name]
         out_dim = self.output_dim
 
-        def loss_fn(params, batch, rng=None, train=True):
-            kwargs = {"rngs": {"dropout": rng}} if (train and rng is not None) else {}
+        def loss_fn(params, batch, rng=None, train=True, tf_ratio=None):
+            kwargs = training_apply_kwargs(self.model, batch, rng, train, tf_ratio)
             pred = self.model.apply(params, batch["X"], train=train, **kwargs)
             y_true = self._scaler.inverse_transform(batch["y"][..., :out_dim])
             y_pred = self._scaler.inverse_transform(pred[..., :out_dim])
@@ -187,26 +187,38 @@ class TrafficStateExecutor:
         return loss_fn
 
     # ------------------------------------------------------------- train step
-    def _grad_step(self, params, batch, rng):
+    def _grad_step(self, params, batch, rng, tf_ratio=None):
         """Loss + grads w.r.t. the trainable 'params' collection only (other
         collections, e.g. a sparse model's int32 'graph' arrays, pass through
         undifferentiated)."""
         others = {k: v for k, v in params.items() if k != "params"}
 
         def wrt(trainable):
-            return self.loss_fn({"params": trainable, **others}, batch, rng=rng, train=True)
+            return self.loss_fn({"params": trainable, **others}, batch,
+                                rng=rng, train=True, tf_ratio=tf_ratio)
 
         return jax.value_and_grad(wrt)(params["params"])
 
-    def _train_step_impl(self, params, opt_state, batch, rng, lr):
+    def _tf_ratio(self, global_step):
+        """Scheduled-sampling teacher-forcing ratio at a (traced) global
+        step: cl/(cl + exp(i/cl)) (DCRNN paper eq. 9), or None when the
+        model doesn't opt in via cl_decay_steps."""
+        cl = float(getattr(self.model, "cl_decay_steps", 0) or 0)
+        if cl <= 0:
+            return None
+        return cl / (cl + jnp.exp(jnp.asarray(global_step, jnp.float32) / cl))
+
+    def _train_step_impl(self, params, opt_state, batch, rng, lr, global_step=0):
         set_learning_rate(opt_state, lr)
-        loss, grads = self._grad_step(params, batch, rng)
+        loss, grads = self._grad_step(params, batch, rng,
+                                      tf_ratio=self._tf_ratio(global_step))
         updates, opt_state = self.optimizer.update(grads, opt_state, params["params"])
         params = dict(params)
         params["params"] = jax.tree_util.tree_map(lambda p, u: p + u, params["params"], updates)
         return params, opt_state, loss
 
-    def _train_epoch_impl(self, params, opt_state, x, y, perm, epoch_key, lr):
+    def _train_epoch_impl(self, params, opt_state, x, y, perm, epoch_key, lr,
+                          global_step0=0):
         """One FULL epoch as a single compiled program: lax.scan over batches.
 
         x/y are the device-resident split arrays; perm is (num_batches, B)
@@ -226,7 +238,8 @@ class TrafficStateExecutor:
                     for k, v in batch.items()
                 }
             rng = jax.random.fold_in(epoch_key, step)
-            loss, grads = self._grad_step(params, batch, rng)
+            loss, grads = self._grad_step(
+                params, batch, rng, tf_ratio=self._tf_ratio(global_step0 + step))
             updates, opt_state = self.optimizer.update(grads, opt_state, params["params"])
             params = dict(params)
             params["params"] = jax.tree_util.tree_map(lambda p, u: p + u, params["params"], updates)
@@ -286,6 +299,7 @@ class TrafficStateExecutor:
                 self.params, self.opt_state, mean_loss = self._train_epoch_scan(
                     self.params, self.opt_state,
                     train_dataloader.x, train_dataloader.y, perm, epoch_key, lr,
+                    epoch_idx * num_batches,
                 )
                 train_loss = float(mean_loss)
             else:
@@ -293,7 +307,8 @@ class TrafficStateExecutor:
                 keys = jax.random.split(epoch_key, num_batches)
                 for bi, batch in enumerate(train_dataloader):
                     self.params, self.opt_state, loss = self._train_step(
-                        self.params, self.opt_state, batch, keys[bi], lr
+                        self.params, self.opt_state, batch, keys[bi], lr,
+                        epoch_idx * num_batches + bi,
                     )
                     epoch_losses.append(loss)
                 train_loss = float(jnp.mean(jnp.stack(epoch_losses)))

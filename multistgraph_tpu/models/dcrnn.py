@@ -18,12 +18,14 @@ TPU design notes:
     separately); supports are a dense (S, N, N) stack at N<=403 — the
     diffusion "spmm" is one einsum feeding one big (B*N, (S*K+1)*C) @ W
     MXU matmul per gate.
-  * Deviation from the paper: scheduled sampling (feeding ground truth with
-    decaying probability during training) is intentionally not implemented —
-    the executor's loss path is pure `f(params, X)` and the rollout is
-    always autoregressive, which matches the paper's *inference* semantics
-    and keeps the train step a single jitted program. Documented here so the
-    parity reviewer doesn't look for it.
+  * Scheduled sampling (the paper's curriculum: decoder inputs are ground
+    truth with probability eps_i = cl/(cl + exp(i/cl)) decaying over global
+    step i) runs INSIDE the single jitted program: the executor threads the
+    global step into the epoch scan, the decaying ratio is a traced scalar,
+    and the per-(step, sample) coins are one `bernoulli` draw — the rollout
+    stays one `lax.scan`, branch-free via `where`. Enabled when
+    `cl_decay_steps > 0` (DCRNN's default config sets 2000 like the paper);
+    inference is always pure autoregressive.
 """
 
 from typing import Any
@@ -46,6 +48,9 @@ class DCRNN(nn.Module):
     hidden_dim: int = 64
     num_layers: int = 2
     max_diffusion_step: int = 2
+    # > 0 enables scheduled sampling; the executor computes the decaying
+    # teacher-forcing ratio from this constant and the global step
+    cl_decay_steps: int = 0
 
     @property
     def start_dim(self) -> int:
@@ -91,7 +96,7 @@ class DCRNN(nn.Module):
         return cell
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, targets=None, tf_ratio=None):
         b, t, n, _f = x.shape
         h = self.hidden_dim
         xin = x[..., : self.input_dim]
@@ -121,9 +126,16 @@ class DCRNN(nn.Module):
 
         states, _ = jax.lax.scan(enc_step, states0, seq)
 
-        def dec_step(carry, _):
+        use_ss = (train and targets is not None and tf_ratio is not None
+                  and self.has_rng("sampling"))
+
+        def dec_step(carry, xs):
             states, y_prev = carry
-            inp = y_prev
+            if use_ss:
+                truth, coin = xs
+                inp = jnp.where(coin, truth, y_prev)
+            else:
+                inp = y_prev
             new = []
             for layer, cell in enumerate(dec_cells):
                 inp = cell(states[layer], inp)
@@ -132,7 +144,19 @@ class DCRNN(nn.Module):
             return (tuple(new), y), y
 
         go = jnp.zeros((b, n, self.output_dim), x.dtype)
-        _, ys = jax.lax.scan(dec_step, (states, go), None, length=self.output_window)
+        xs = None
+        if use_ss:
+            # decoder input at step t is the PREVIOUS horizon step's truth
+            # with prob tf_ratio (step 0 keeps the GO symbol: its "truth"
+            # slot is the GO zeros, so the coin is a no-op there)
+            tgt = targets[..., : self.output_dim].astype(x.dtype)
+            prev_true = jnp.concatenate([go[:, None], tgt[:, :-1]], axis=1)
+            coins = jax.random.bernoulli(
+                self.make_rng("sampling"), tf_ratio,
+                (self.output_window, b, 1, 1))
+            xs = (jnp.transpose(prev_true, (1, 0, 2, 3)), coins)
+        _, ys = jax.lax.scan(dec_step, (states, go), xs,
+                             length=None if use_ss else self.output_window)
         return jnp.transpose(ys, (1, 0, 2, 3))  # (B, Tout, N, D)
 
 
@@ -149,4 +173,5 @@ def build_dcrnn(config, data_feature) -> DCRNN:
         hidden_dim=config.get("rnn_units", 64),
         num_layers=config.get("num_rnn_layers", config.get("num_layers", 2)),
         max_diffusion_step=config.get("max_diffusion_step", 2),
+        cl_decay_steps=config.get("cl_decay_steps", 0),
     )

@@ -735,11 +735,29 @@ def build_multi_atgcn(config, data_feature) -> MultiATGCN:
     )
 
 
+def training_apply_kwargs(model, batch, rng, train, tf_ratio=None):
+    """Extra kwargs for model.apply during training: the dropout rng, plus —
+    for models that advertise scheduled sampling (``cl_decay_steps > 0``,
+    e.g. DCRNN) — the teacher targets, the traced teacher-forcing ratio, and
+    a 'sampling' rng for the per-step coins."""
+    rngs = {}
+    kwargs = {}
+    if train and rng is not None:
+        rngs["dropout"] = rng
+        if tf_ratio is not None and getattr(model, "cl_decay_steps", 0):
+            rngs["sampling"] = jax.random.fold_in(rng, 0x5A)
+            kwargs["targets"] = batch["y"][..., model.start_dim : model.end_dim]
+            kwargs["tf_ratio"] = tf_ratio
+    if rngs:
+        kwargs["rngs"] = rngs
+    return kwargs
+
+
 def make_loss_fn(model: MultiATGCN, scaler):
     """calculate_loss: masked MAE on inverse-transformed pred/truth (ref :422-427)."""
 
-    def loss_fn(params, batch, rng=None, train=True):
-        kwargs = {"rngs": {"dropout": rng}} if (train and rng is not None) else {}
+    def loss_fn(params, batch, rng=None, train=True, tf_ratio=None):
+        kwargs = training_apply_kwargs(model, batch, rng, train, tf_ratio)
         pred = model.apply(params, batch["X"], train=train, **kwargs)
         y_true = batch["y"][..., model.start_dim : model.end_dim]
         return losses.masked_mae(

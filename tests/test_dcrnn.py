@@ -99,3 +99,55 @@ def test_dcrnn_pipeline(synthetic_dataset, tmp_path):
         },
     )
     assert np.isfinite(result["masked_MAE"]).all()
+
+
+def test_dcrnn_scheduled_sampling_coins():
+    """tf_ratio=1 feeds ground truth at every decoder step (output differs
+    from pure autoregressive); tf_ratio=0 reproduces it exactly."""
+    model = _model(cl_decay_steps=2000)
+    x = _x()
+    tgt = jnp.asarray(
+        np.random.default_rng(9).normal(size=(B, TOUT, N, 1)).astype(np.float32))
+    params = model.init(jax.random.PRNGKey(0), x)
+    plain = model.apply(params, x, train=False)
+    rngs = {"sampling": jax.random.PRNGKey(7)}
+    teacher = model.apply(params, x, train=True, targets=tgt,
+                          tf_ratio=jnp.float32(1.0), rngs=rngs)
+    free = model.apply(params, x, train=True, targets=tgt,
+                       tf_ratio=jnp.float32(0.0), rngs=rngs)
+    np.testing.assert_allclose(np.asarray(free), np.asarray(plain), atol=1e-6)
+    # step 0 always starts from GO, so only later steps can diverge
+    assert np.abs(np.asarray(teacher[:, 1:]) - np.asarray(plain[:, 1:])).max() > 1e-4
+    np.testing.assert_allclose(np.asarray(teacher[:, 0]), np.asarray(plain[:, 0]),
+                               atol=1e-6)
+
+
+def test_dcrnn_tf_ratio_decays(synthetic_dataset, tmp_path):
+    """Executor computes the paper's decaying ratio and trains through the
+    scheduled-sampling path (epoch scan) with finite decreasing loss."""
+    from multistgraph_tpu.config import load_config
+    from multistgraph_tpu.data import get_dataset
+    from multistgraph_tpu.executor import get_executor
+    from multistgraph_tpu.models import get_model
+
+    args = {
+        "data_dir": synthetic_dataset, "cache_dir": str(tmp_path / "c"),
+        "output_dir": str(tmp_path / "o"), "exp_id": "ss",
+        "max_epoch": 2, "input_window": 12, "output_window": 3,
+        "load_external": True, "load_dynamic": False, "add_time_in_day": True,
+        "groupstd": True, "batch_size": 4, "train_rate": 0.7, "eval_rate": 0.15,
+        "rnn_units": 8, "cl_decay_steps": 10, "use_early_stop": False,
+        "saved_model": False, "load_best_epoch": False, "seed": 0,
+    }
+    config = load_config("traffic_state_pred", "DCRNN", "SYN_SMALL", other_args=args)
+    dataset = get_dataset(config)
+    train, val, _ = dataset.get_data()
+    feature = dataset.get_data_feature()
+    model = get_model(config, feature)
+    assert model.cl_decay_steps == 10
+    ex = get_executor(config, model, feature)
+    r0 = float(ex._tf_ratio(0))
+    r100 = float(ex._tf_ratio(100))
+    assert 0.0 < r100 < r0 <= 1.0  # monotone decay toward autoregressive
+    best = ex.train(train, val)
+    assert np.isfinite(best)
