@@ -241,6 +241,7 @@ MODEL_DEFAULTS.update(
         },
         "traffic_state_pred/STSGCN": {
             "rnn_units": 64, "gcn_depth": 3, "num_layers": 2, "stsg_window": 3,
+            "module_type": "individual",
             "use_3tu": False, "batch_size": 16, "scaler": "standard",
             "ext_scaler": "none", "learner": "adam", "learning_rate": 0.003,
             "clip_grad_norm": True, "max_grad_norm": 5,

@@ -15,13 +15,16 @@ slides the 3-step window over time (shrinking T by 2) after adding
 learnable spatial and temporal position embeddings. The head predicts each
 horizon step with its own dense over the remaining (T', C) window.
 
-Deviations (documented for the parity reviewer): window positions share one
-STSGCM per layer (the paper's "sharing" mode; its "individual" mode only
-multiplies parameters), and the input-feature lift is a dense layer.
+Both of the paper's module modes are supported: "individual" (the paper's
+default — each window position has its own STSGCM parameters) and "sharing"
+(one STSGCM per layer, the paper's ablation). Deviation (documented for the
+parity reviewer): the input-feature lift is a dense layer.
 
 TPU design notes: the T-2 window positions are folded into the batch
 dimension, so each GLU graph conv is ONE (3N, 3N) x (3N, B*(T-2)*C) matmul
-chain — no per-window Python loop reaches XLA.
+chain — no per-window Python loop reaches XLA. "individual" keeps the same
+batching: the per-position kernels are one stacked (T', C, 2H) tensor
+applied with a single position-batched einsum.
 """
 
 from typing import Any
@@ -63,6 +66,7 @@ class STSGCN(nn.Module):
     gcn_depth: int = 3
     num_layers: int = 2
     window: int = 3
+    module_type: str = "individual"  # paper default; "sharing" = ablation
 
     @property
     def start_dim(self) -> int:
@@ -72,25 +76,42 @@ class STSGCN(nn.Module):
     def end_dim(self) -> int:
         return self.output_dim
 
-    def _stsgcm(self, name, xw):
-        """GLU graph-conv stack on (BW, 3N, C); max over cropped layers."""
+    def _stsgcm(self, name, xw, t_out):
+        """GLU graph-conv stack on (B*T', 3N, C); max over cropped layers.
+
+        "sharing": one kernel for every window position. "individual": a
+        stacked (T', C, 2H) kernel, applied with one position-batched einsum
+        — same MXU batching, per-position parameters."""
         a = jnp.asarray(self.sync_adj, xw.dtype)
         n, w = self.num_nodes, self.window
         mid = (w // 2) * n
+        individual = self.module_type == "individual"
         h = xw
         crops = []
         for d in range(self.gcn_depth):
             c_in = h.shape[-1]
-            wk = self.param("{}_g{}_kernel".format(name, d),
-                            lambda k, s=(c_in, 2 * self.hidden_dim):
-                            dense_kernel_init(k, s))
-            wb = self.param("{}_g{}_bias".format(name, d),
-                            lambda k, s=(2 * self.hidden_dim,): jnp.zeros(s))
-            z = jnp.einsum("pq,bqc->bpc", a, h) @ wk + wb
+            if individual:
+                wk = self.param("{}_g{}_kernel".format(name, d),
+                                lambda k, s=(t_out, c_in, 2 * self.hidden_dim):
+                                dense_kernel_init(k, s))
+                wb = self.param("{}_g{}_bias".format(name, d),
+                                lambda k, s=(t_out, 1, 2 * self.hidden_dim):
+                                jnp.zeros(s))
+                hg = jnp.einsum("pq,btqc->btpc",
+                                a, h.reshape(-1, t_out, w * n, c_in))
+                z = jnp.einsum("btpc,tcd->btpd", hg, wk) + wb
+                z = z.reshape(-1, w * n, 2 * self.hidden_dim)
+            else:
+                wk = self.param("{}_g{}_kernel".format(name, d),
+                                lambda k, s=(c_in, 2 * self.hidden_dim):
+                                dense_kernel_init(k, s))
+                wb = self.param("{}_g{}_bias".format(name, d),
+                                lambda k, s=(2 * self.hidden_dim,): jnp.zeros(s))
+                z = jnp.einsum("pq,bqc->bpc", a, h) @ wk + wb
             p, q = jnp.split(z, 2, axis=-1)
             h = p * jax.nn.sigmoid(q)  # GLU
             crops.append(h[:, mid: mid + n])
-        return jnp.max(jnp.stack(crops), axis=0)  # (BW, N, hidden)
+        return jnp.max(jnp.stack(crops), axis=0)  # (B*T', N, hidden)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -120,7 +141,7 @@ class STSGCN(nn.Module):
             # windows -> batch: (B, t_out, w, N, C) -> (B*t_out, w*N, C)
             wins = jnp.stack([hp[:, j: j + t_out] for j in range(w)], axis=2)
             xw = wins.reshape(b * t_out, w * n, h.shape[-1])
-            out = self._stsgcm("l{}".format(li), xw)  # (B*t_out, N, H)
+            out = self._stsgcm("l{}".format(li), xw, t_out)  # (B*t_out, N, H)
             h = out.reshape(b, t_out, n, self.hidden_dim)
 
         # per-horizon heads over the remaining (T', H) window
@@ -157,4 +178,5 @@ def build_stsgcn(config, data_feature) -> STSGCN:
         gcn_depth=config.get("gcn_depth", 3),
         num_layers=config.get("num_layers", 2),
         window=config.get("stsg_window", 3),
+        module_type=config.get("module_type", "individual"),
     )

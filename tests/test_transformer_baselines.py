@@ -153,3 +153,24 @@ def test_pipeline(model_name, synthetic_dataset, tmp_path):
         },
     )
     assert np.isfinite(result["masked_MAE"]).all()
+
+
+def test_stsgcn_module_types_differ_but_both_learnable():
+    """"individual" allocates per-window-position kernels (paper default);
+    "sharing" reuses one — parameter counts and outputs must differ."""
+    x = _x()
+    counts = {}
+    for mt in ("individual", "sharing"):
+        model = _stsgcn(module_type=mt)
+        params = model.init(jax.random.PRNGKey(0), x)
+        out = model.apply(params, x)
+        assert out.shape == (B, TOUT, N, 1)
+        assert np.isfinite(np.asarray(out)).all()
+        counts[mt] = sum(int(np.prod(l.shape))
+                         for l in jax.tree_util.tree_leaves(params))
+    assert counts["individual"] > counts["sharing"]
+    # individual kernels carry the window-position axis: TIN-2 positions at
+    # layer 0
+    model = _stsgcn(module_type="individual")
+    params = model.init(jax.random.PRNGKey(0), x)
+    assert params["params"]["l0_g0_kernel"].shape[0] == TIN - 2
