@@ -179,8 +179,23 @@ def build_gman(config, data_feature) -> GMAN:
     # time-in-day sits right after the target channels when enabled
     time_index = output_dim if config.get("add_time_in_day", False) else None
     seconds = config.get("time_intervals", 3600)
+    if config.get("gman_se", "laplacian") == "node2vec":
+        # the paper's actual spatial-embedding method (graph/node2vec.py);
+        # Laplacian eigenvectors stay the cheap deterministic default
+        from multistgraph_tpu.graph.node2vec import node2vec_embedding
+
+        spatial_emb = node2vec_embedding(
+            adj, se_dim,
+            num_walks=config.get("n2v_walks", 10),
+            walk_length=config.get("n2v_length", 80),
+            window=config.get("n2v_window", 10),
+            p=config.get("n2v_p", 1.0), q=config.get("n2v_q", 1.0),
+            seed=config.get("seed", 0) or 0,
+        )
+    else:
+        spatial_emb = laplacian_positional_embedding(adj, se_dim)
     return GMAN(
-        spatial_emb=laplacian_positional_embedding(adj, se_dim),
+        spatial_emb=spatial_emb,
         output_window=config.get("output_window", 1),
         output_dim=output_dim,
         input_dim=data_feature.get("feature_dim", 1),
