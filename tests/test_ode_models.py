@@ -219,3 +219,50 @@ def test_pipeline(model_name, synthetic_dataset, tmp_path):
         },
     )
     assert np.isfinite(result["masked_MAE"]).all()
+
+
+# ------------------------------------------------------- cubic spline control
+
+def test_natural_cubic_coeffs_properties():
+    from multistgraph_tpu.models.stgncde import natural_cubic_coeffs
+
+    rng = np.random.default_rng(4)
+    xx = jnp.asarray(rng.normal(size=(2, 9, 3, 2)).astype(np.float32))
+    b, c, d = map(np.asarray, natural_cubic_coeffs(xx))
+    y = np.transpose(np.asarray(xx), (1, 0, 2, 3))
+    # interpolation: X(i+1) - X(i) = b + c + d on every interval
+    np.testing.assert_allclose(b + c + d, y[1:] - y[:-1], atol=1e-5)
+    # C1 continuity at interior knots: Ẋ_i(1) == Ẋ_{i+1}(0)
+    np.testing.assert_allclose(b[1:], b[:-1] + 2 * c[:-1] + 3 * d[:-1], atol=1e-4)
+    # C2 continuity: 2c_{i+1} == 2c_i + 6d_i
+    np.testing.assert_allclose(c[1:], c[:-1] + 3 * d[:-1], atol=1e-4)
+    # natural boundary: X''(0) = 2c_0 = 0 and X''(T-1) = 2c_last + 6d_last = 0
+    np.testing.assert_allclose(c[0], 0.0, atol=1e-5)
+    np.testing.assert_allclose(c[-1] + 3 * d[-1], 0.0, atol=1e-4)
+
+
+def test_cubic_coeffs_linear_data_degenerate():
+    from multistgraph_tpu.models.stgncde import natural_cubic_coeffs
+
+    t = jnp.arange(6.0)[None, :, None, None]
+    xx = jnp.broadcast_to(3.0 * t + 1.0, (2, 6, 4, 1))
+    b, c, d = map(np.asarray, natural_cubic_coeffs(xx))
+    np.testing.assert_allclose(b, 3.0, atol=1e-5)
+    np.testing.assert_allclose(c, 0.0, atol=1e-5)
+    np.testing.assert_allclose(d, 0.0, atol=1e-5)
+
+
+def test_stgncde_cubic_control_runs_and_differs():
+    model_lin = _stgncde(control="linear", substeps=2)
+    model_cub = _stgncde(control="cubic", substeps=2)
+    x = _x()
+    params = model_lin.init(jax.random.PRNGKey(0), x)
+    out_lin = model_lin.apply(params, x)
+    out_cub = model_cub.apply(params, x)  # same params: fields identical
+    assert out_cub.shape == out_lin.shape
+    assert np.isfinite(np.asarray(out_cub)).all()
+    # curved data: spline derivative differs from chord slopes
+    assert np.abs(np.asarray(out_cub) - np.asarray(out_lin)).max() > 1e-5
+    g = jax.grad(lambda p: jnp.mean(jnp.square(model_cub.apply(p, x))))(params)
+    total = sum(float(jnp.abs(l).sum()) for l in jax.tree_util.tree_leaves(g))
+    assert np.isfinite(total) and total > 0
