@@ -31,7 +31,30 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
+def _probe_backend(timeout_s=120):
+    """Fail fast with a clear message when the TPU relay is unreachable —
+    jax backend init otherwise blocks indefinitely and the driver only sees
+    a silent hang."""
+    import subprocess
+
+    try:
+        probe = subprocess.run(
+            [sys.executable, "-c", "import jax; print(jax.devices()[0].platform)"],
+            capture_output=True, timeout=timeout_s, text=True,
+        )
+        if probe.returncode == 0:
+            log("backend probe: {}".format(probe.stdout.strip()))
+            return
+        log(probe.stderr[-500:])
+    except subprocess.TimeoutExpired:
+        pass
+    log("FATAL: accelerator backend did not initialize within {}s "
+        "(TPU relay unreachable?) — refusing to hang".format(timeout_s))
+    sys.exit(2)
+
+
 def main():
+    _probe_backend()
     import jax
 
     from multistgraph_tpu.config import load_config
