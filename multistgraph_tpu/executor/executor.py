@@ -40,7 +40,14 @@ from multistgraph_tpu.utils import ensure_dir, get_logger
 
 
 def _enable_compilation_cache(cache_dir: str) -> None:
-    """Persistent XLA compilation cache: makes re-runs skip all compiles."""
+    """Persistent XLA compilation cache: makes re-runs skip all compiles.
+
+    OPT-IN (``compilation_cache_dir`` in config): serializing every
+    executable is where the win would be, but PJRT CPU executable
+    serialization segfaults intermittently after hundreds of in-process
+    compiles (observed as suite-wide SIGSEGV/SIGABRT inside
+    ``put_executable_and_time``), and a remote-compile relay bypasses the
+    cache entirely — so it must not be on by default."""
     try:
         if jax.config.jax_compilation_cache_dir is None:
             ensure_dir(cache_dir)
@@ -67,7 +74,8 @@ class TrafficStateExecutor:
         self.output_dim = config.get("output_dim", 1)
 
         output_root = config.get("output_dir", "./outputs")
-        _enable_compilation_cache(config.get("compilation_cache_dir", os.path.join(output_root, "jax_cache")))
+        if config.get("compilation_cache_dir"):
+            _enable_compilation_cache(config["compilation_cache_dir"])
         self.cache_dir = os.path.join(output_root, str(self.exp_id), "model_cache")
         self.evaluate_res_dir = os.path.join(output_root, str(self.exp_id), "evaluate_cache")
         self.summary_dir = os.path.join(output_root, str(self.exp_id))
