@@ -45,14 +45,25 @@ from multistgraph_tpu.models.conv_baselines import (
 from multistgraph_tpu.models.initializers import torch_style_init
 
 
-def dtw_profile_distances(profiles: np.ndarray, band: int = 4) -> np.ndarray:
+def dtw_profile_distances(profiles: np.ndarray, band: int = 4,
+                          native: bool = None) -> np.ndarray:
     """All-pairs DTW distance over per-node profiles (N, P).
 
     Vectorized dynamic program: one (N, N) relaxation per (t, s) cell, cells
     outside the Sakoe-Chiba |t - s| <= band are forbidden. Returns (N, N)
     symmetric distances with zero diagonal.
+
+    ``native=None`` auto-uses the threaded C++ kernel
+    (multistgraph_tpu/native) when available — identical float32 DP, and it
+    avoids this path's O(N^2 P^2) cost tensor (374 MB at N=403, P=24).
     """
     profiles = np.asarray(profiles, np.float32)
+    if native is None:
+        from multistgraph_tpu import native as _native_mod
+        native = _native_mod.available()
+    if native:
+        from multistgraph_tpu.native import dtw_band_native
+        return dtw_band_native(profiles, band)
     n, p = profiles.shape
     # pairwise local costs: (N, N, P, P)
     cost = np.abs(profiles[:, None, :, None] - profiles[None, :, None, :])

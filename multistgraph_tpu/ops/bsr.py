@@ -82,6 +82,7 @@ def community_order(
     dst: np.ndarray,
     num_nodes: int,
     rounds: int = 10,
+    native: bool = None,
 ) -> np.ndarray:
     """Community-clustering node order via synchronous label propagation.
 
@@ -95,7 +96,19 @@ def community_order(
     a few seconds at 16M edges; early-exits on convergence. Returns old node ids in new order
     (perm[new] = old): communities sorted by size (largest first), nodes
     within a community by degree (hubs lead their tile rows).
+
+    ``native=None`` auto-uses the C++ kernel (multistgraph_tpu/native) when
+    available — bit-identical result, ~20x faster at 1M nodes; ``False``
+    forces this numpy path, ``True`` requires the native library.
     """
+    if native is None:
+        from multistgraph_tpu import native as _native_mod
+        native = _native_mod.available()
+    if native:
+        from multistgraph_tpu.native import community_order_native
+        return community_order_native(
+            np.asarray(src, np.int64), np.asarray(dst, np.int64),
+            num_nodes, rounds)
     u = np.concatenate([src, dst]).astype(np.int64)
     v = np.concatenate([dst, src]).astype(np.int64)
     labels = np.arange(num_nodes, dtype=np.int64)
@@ -152,6 +165,7 @@ def bsr_from_coo(
     num_nodes: int,
     block: int = 128,
     reorder: str = None,
+    native: bool = None,
 ) -> BSRGraph:
     """Build BSR from COO edges (duplicate edges accumulate).
 
@@ -161,7 +175,12 @@ def bsr_from_coo(
     id ranges (best for hub/community-structured power-law graphs). Use for
     scattered graphs where raw tiles are nearly empty; the applied
     permutation is recorded on the graph (reorder features with
-    apply_node_order)."""
+    apply_node_order).
+
+    ``native=None`` auto-uses the C++ builder (multistgraph_tpu/native) when
+    available — bit-identical values (same accumulation order as np.add.at),
+    ~4x faster at 1M nodes / 8M edges; ``False`` forces numpy, ``True``
+    requires the native library."""
     perm = None
     if reorder is not None:
         if reorder not in _ORDERINGS:
@@ -172,6 +191,18 @@ def bsr_from_coo(
         inv = np.empty(num_nodes, np.int64)
         inv[perm] = np.arange(num_nodes)
         src, dst = inv[src], inv[dst]
+    if native is None:
+        from multistgraph_tpu import native as _native_mod
+        native = _native_mod.available() and 0 < block <= 256
+    if native:
+        from multistgraph_tpu.native import BsrPlan
+        plan = BsrPlan(np.asarray(src, np.int64), np.asarray(dst, np.int64),
+                       num_nodes, block)
+        values = plan.fill(weights)
+        graph = BSRGraph(values=values, row_of=plan.row_of, col_of=plan.col_of,
+                         num_nodes=num_nodes, block=block, perm=perm)
+        plan.close()
+        return graph
     rb = src // block
     cb = dst // block
     n_blocks = -(-num_nodes // block)

@@ -24,6 +24,15 @@ def run_model(
     config = load_config(
         task, model_name, dataset_name, config_file, saved_model, train, other_args
     )
+    if not config.get("gpu", True):
+        # Reference parity (`gpu: false` pins torch to CPU,
+        # /root/reference/libcity/executor/traffic_state_executor.py device
+        # selection): force the CPU backend. Must happen before the first
+        # device query — a pre-registered accelerator plugin ignores the
+        # JAX_PLATFORMS env var, only this config update works.
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     if config.get("distributed", False):
         # multi-host pod launch: every host joins the cluster before any jax
         # call; devices then span the pod (parallel/launch.py)
