@@ -188,6 +188,7 @@ def main():
         )
 
     wall = {}
+    failures = []
     for label in args.models.split(","):
         model_name, overrides = MODEL_VARIANTS[label]
         for seed in seeds:
@@ -195,36 +196,56 @@ def main():
             run_args.update(overrides)
             run_args["exp_id"] = "q_{}_{}_s{}".format(ds_name, label, seed)
             run_args["seed"] = seed
-            config = load_config("traffic_state_pred", model_name, ds_name,
-                                 other_args=run_args)
-            set_random_seed(seed)
-            dataset = get_dataset(config)
-            train_loader, val_loader, test_loader = dataset.get_data()
-            feature = dataset.get_data_feature()
-            model = get_model(config, feature)
-            config["model"] = label  # distinct Model_name for the ablation rows
-            executor = get_executor(config, model, feature)
-            t0 = time.time()
-            best = executor.train(train_loader, val_loader)
-            wall[(label, seed)] = time.time() - t0
-            print("[{} seed {}] best val {:.4f} in {:.0f}s".format(
-                label, seed, best, wall[(label, seed)]), file=sys.stderr, flush=True)
-            executor.evaluate(test_loader)
-            if label == "MultiATGCN":
-                _naive_trans_tables(shape, config, dataset, test_loader,
-                                    os.path.join(bench_root, "outputs"), seed)
-            else:
-                # Point-dataset models carry no gbst in data_feature: build
-                # the group-retransform table offline like result_convert
-                from multistgraph_tpu.data import atomic
+            run_dir = os.path.join(bench_root, "outputs", run_args["exp_id"])
+            import glob as _glob
 
-                mstd = atomic.load_gbst(
-                    os.path.join(raw_dir, ds_name, ds_name + ".gbst")
-                )
-                _ensure_trans_table(
-                    os.path.join(bench_root, "outputs", run_args["exp_id"]),
-                    label, mstd,
-                )
+            if _glob.glob(os.path.join(run_dir, "*_trans.csv")):
+                # resumable: a completed run already wrote its retransformed
+                # metrics — skip it (unattended multi-hour sweeps restart
+                # after interruptions and only pay for what's missing)
+                print("[{} seed {}] cached, skipping".format(label, seed),
+                      file=sys.stderr, flush=True)
+                continue
+            try:
+                config = load_config("traffic_state_pred", model_name, ds_name,
+                                     other_args=run_args)
+                set_random_seed(seed)
+                dataset = get_dataset(config)
+                train_loader, val_loader, test_loader = dataset.get_data()
+                feature = dataset.get_data_feature()
+                model = get_model(config, feature)
+                config["model"] = label  # distinct Model_name for ablation rows
+                executor = get_executor(config, model, feature)
+                t0 = time.time()
+                best = executor.train(train_loader, val_loader)
+                wall[(label, seed)] = time.time() - t0
+                print("[{} seed {}] best val {:.4f} in {:.0f}s".format(
+                    label, seed, best, wall[(label, seed)]), file=sys.stderr, flush=True)
+                executor.evaluate(test_loader)
+                if label == "MultiATGCN":
+                    _naive_trans_tables(shape, config, dataset, test_loader,
+                                        os.path.join(bench_root, "outputs"), seed)
+                else:
+                    # Point-dataset models carry no gbst in data_feature: build
+                    # the group-retransform table offline like result_convert
+                    from multistgraph_tpu.data import atomic
+
+                    mstd = atomic.load_gbst(
+                        os.path.join(raw_dir, ds_name, ds_name + ".gbst")
+                    )
+                    _ensure_trans_table(run_dir, label, mstd)
+            except KeyboardInterrupt:
+                raise
+            except Exception as exc:  # one broken model must not kill a sweep
+                failures.append((label, seed, repr(exc)))
+                import traceback
+
+                traceback.print_exc()
+                print("[{} seed {}] FAILED: {!r} — continuing".format(
+                    label, seed, exc), file=sys.stderr, flush=True)
+    if failures:
+        print("{} run(s) failed: {}".format(len(failures), failures),
+              file=sys.stderr, flush=True)
 
     # aggregate into the paper-style comparison table
     sys.path.insert(0, os.path.join(ROOT, "tools"))
