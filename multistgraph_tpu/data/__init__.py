@@ -5,9 +5,14 @@ from multistgraph_tpu.data.dataset import (
     TrafficStatePointDataset,
     get_dataset,
 )
-from multistgraph_tpu.data.loader import DeviceDataLoader, generate_dataloaders
+from multistgraph_tpu.data.loader import (
+    DeviceDataLoader,
+    generate_dataloaders,
+    pad_ragged,
+)
 
 __all__ = [
+    "pad_ragged",
     "DATASET_REGISTRY",
     "MTHDataset",
     "TrafficStateDataset",

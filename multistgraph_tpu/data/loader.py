@@ -75,6 +75,43 @@ class DeviceDataLoader:
             yield {"X": jnp.take(self.x, idx, axis=0), "y": jnp.take(self.y, idx, axis=0)}
 
 
+def pad_ragged(
+    sequences,
+    pad_value: float = 0.0,
+    max_len: Optional[int] = None,
+    dtype=np.float32,
+):
+    """Pad variable-length sequences into one static-shape batch.
+
+    TPU-native counterpart of the reference's BatchPAD
+    (libcity/data/batch.py:70-136): pad to the batch's longest sequence
+    (optionally capped at `max_len`), truncation keeps the TAIL of longer
+    sequences ("time series — drop the earliest points", batch.py:128-132),
+    and the pre-padding lengths are returned so downstream masking can
+    ignore padded steps. Static output shapes are what jit requires; the
+    lengths array plays the role of BatchPAD.get_origin_len.
+
+    Returns (padded (B, L, ...) array, origin_len (B,) int32 array).
+    """
+    if not sequences:
+        raise ValueError("pad_ragged needs at least one sequence")
+    arrs = [np.asarray(s, dtype=dtype) for s in sequences]
+    trail = arrs[0].shape[1:]
+    for a in arrs:
+        if a.shape[1:] != trail:
+            raise ValueError("pad_ragged: trailing dims differ across sequences")
+    longest = max(a.shape[0] for a in arrs)
+    target = longest if max_len is None else min(max_len, longest)
+    out = np.full((len(arrs), target) + trail, pad_value, dtype=dtype)
+    origin_len = np.empty(len(arrs), dtype=np.int32)
+    for i, a in enumerate(arrs):
+        if a.shape[0] > target:
+            a = a[-target:]
+        out[i, : a.shape[0]] = a
+        origin_len[i] = a.shape[0]
+    return out, origin_len
+
+
 def generate_dataloaders(
     splits,
     batch_size: int,

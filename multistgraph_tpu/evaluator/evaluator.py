@@ -138,6 +138,40 @@ class TrafficStateEvaluator:
         self.intermediate_result = {}
 
 
+def evaluate_model(y_pred, y_true, metrics, mode="single", path="metrics.csv"):
+    """Standalone per-horizon evaluation over prediction/truth arrays.
+
+    Reference: libcity/evaluator/utils.py:81-157 (`evaluate_model`) — the
+    offline counterpart to TrafficStateEvaluator: one row per horizon step,
+    one column per metric, written to `path` and returned as a DataFrame.
+    Masked metrics use null_val=0; all metrics apply the reference's default
+    min_s=1e-4 label thresholding (loss.py:17-90 signature defaults).
+    """
+    y_pred = jnp.asarray(y_pred)
+    y_true = jnp.asarray(y_true)
+    if y_true.shape != y_pred.shape:
+        raise ValueError("y_true.shape is not equal to y_pred.shape")
+    mode = mode.lower()
+    if mode not in ("single", "average"):
+        raise ValueError(
+            "Error parameter mode={}, please set `single` or `average`.".format(mode)
+        )
+    for metric in metrics:
+        if metric not in ALLOWED_METRICS:
+            raise ValueError("Error parameter metric={}!".format(metric))
+    rows = []
+    for i in range(1, int(y_true.shape[1]) + 1):
+        pred_i = y_pred[:, :i] if mode == "average" else y_pred[:, i - 1]
+        true_i = y_true[:, :i] if mode == "average" else y_true[:, i - 1]
+        rows.append(
+            {m: _metric_value(m, pred_i, true_i, 1e-4) for m in metrics}
+        )
+    df = pd.DataFrame(rows, columns=metrics)
+    if path:
+        df.to_csv(path)
+    return df
+
+
 EVALUATOR_REGISTRY = {"TrafficStateEvaluator": TrafficStateEvaluator}
 
 

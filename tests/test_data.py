@@ -166,3 +166,29 @@ def test_mth_rejects_output_longer_than_input(synthetic_dataset, tmp_path):
     config = _config(synthetic_dataset, tmp_path, output_window=48)
     with _pytest.raises(ValueError, match="output_window"):
         get_dataset(config)
+
+
+def test_pad_ragged_matches_batchpad_semantics():
+    """Mirrors BatchPAD (libcity/data/batch.py:70-136): pad to batch max,
+    cap at max_len, truncation keeps the sequence TAIL, origin lengths kept."""
+    from multistgraph_tpu.data import pad_ragged
+
+    seqs = [np.arange(3), np.arange(5), np.arange(2)]
+    out, lens = pad_ragged(seqs, pad_value=-1.0)
+    assert out.shape == (3, 5) and lens.tolist() == [3, 5, 2]
+    np.testing.assert_array_equal(out[0], [0, 1, 2, -1, -1])
+    np.testing.assert_array_equal(out[1], [0, 1, 2, 3, 4])
+
+    # max_len truncation drops the EARLIEST points (time series convention)
+    out, lens = pad_ragged(seqs, pad_value=0.0, max_len=3)
+    assert out.shape == (3, 3) and lens.tolist() == [3, 3, 2]
+    np.testing.assert_array_equal(out[1], [2, 3, 4])
+
+    # multi-feature trailing dims
+    out, lens = pad_ragged([np.ones((2, 4)), np.ones((3, 4))])
+    assert out.shape == (2, 3, 4) and lens.tolist() == [2, 3]
+
+    with pytest.raises(ValueError):
+        pad_ragged([])
+    with pytest.raises(ValueError):
+        pad_ragged([np.ones((2, 3)), np.ones((2, 4))])

@@ -111,6 +111,32 @@ def test_evaluator_modes_and_artifacts(tmp_path, rng):
         TrafficStateEvaluator(_Cfg(metrics=["BOGUS"]))
 
 
+def test_evaluate_model_standalone(tmp_path, rng):
+    """Standalone helper mirrors libcity/evaluator/utils.py:81-157."""
+    from multistgraph_tpu.evaluator import evaluate_model
+
+    y_true = np.abs(rng.normal(size=(8, 4, 5, 1))) + 1
+    y_pred = y_true + rng.normal(scale=0.1, size=y_true.shape)
+    out = str(tmp_path / "m.csv")
+    df = evaluate_model(y_pred, y_true, ["MAE", "masked_RMSE"], mode="single", path=out)
+    assert list(df.columns) == ["MAE", "masked_RMSE"] and len(df) == 4
+    np.testing.assert_allclose(
+        df["MAE"][1], np.abs(y_pred[:, 1] - y_true[:, 1]).mean(), rtol=1e-4
+    )
+    assert os.path.exists(out)
+
+    davg = evaluate_model(y_pred, y_true, ["MAE"], mode="average", path=None)
+    np.testing.assert_allclose(
+        davg["MAE"][3], np.abs(y_pred - y_true).mean(), rtol=1e-4
+    )
+    with pytest.raises(ValueError):
+        evaluate_model(y_pred, y_true[:, :2], ["MAE"], path=None)
+    with pytest.raises(ValueError):
+        evaluate_model(y_pred, y_true, ["MAE"], mode="bogus", path=None)
+    with pytest.raises(ValueError):
+        evaluate_model(y_pred, y_true, ["BOGUS"], path=None)
+
+
 @pytest.fixture(scope="module")
 def pipeline_run(tmp_path_factory):
     """One small end-to-end run shared by several assertions."""
