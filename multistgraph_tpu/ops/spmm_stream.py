@@ -286,16 +286,16 @@ def spmm_stream(values, row_ptr, col_of, x, block: int = 128,
     elif chunk > 0 and values.shape[0] >= chunk:
         kernel = functools.partial(_stream_kernel_chunked, block=block,
                                    feat=feat, chunk=chunk, n_buf=n_buf)
-        x_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+        x_spec = pl.BlockSpec(memory_space=pl.ANY)
     else:
         kernel = functools.partial(_stream_kernel, block=block, feat=feat,
                                    n_buf=n_buf)
-        x_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+        x_spec = pl.BlockSpec(memory_space=pl.ANY)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(n_rows,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),   # values stay in HBM
+            pl.BlockSpec(memory_space=pl.ANY),   # values stay in HBM
             x_spec,                                 # x: HBM, or whole-array VMEM
         ],
         out_specs=pl.BlockSpec((1, block, feat), lambda r, row_ptr, col_of: (r, 0, 0)),

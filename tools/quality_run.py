@@ -169,6 +169,9 @@ def main():
     # protocol's
     ap.add_argument("--num_nodes", type=int, default=None)
     ap.add_argument("--len_time", type=int, default=None)
+    ap.add_argument("--out", default=None,
+                    help="results doc name (default RESULTS_<ds>); lets a "
+                         "zoo sweep land beside, not over, the main table")
     args = ap.parse_args()
 
     shape = dict(SHAPES[args.shape])
@@ -283,10 +286,11 @@ def main():
     lines.append("train wall per run (s): " + ", ".join(
         "{} s{}: {:.0f}".format(l, s, w) for (l, s), w in wall.items()))
     os.makedirs(os.path.join(ROOT, "docs"), exist_ok=True)
-    out = os.path.join(ROOT, "docs", "RESULTS_{}.md".format(ds_name))
+    doc_name = args.out or "RESULTS_{}".format(ds_name)
+    out = os.path.join(ROOT, "docs", doc_name + ".md")
     with open(out, "w") as f:
         f.write("\n".join(lines) + "\n")
-    summary.to_csv(os.path.join(ROOT, "docs", "RESULTS_{}_summary.csv".format(ds_name)))
+    summary.to_csv(os.path.join(ROOT, "docs", doc_name + "_summary.csv"))
     print("\n".join(lines))
 
 
