@@ -283,8 +283,9 @@ class TrafficStateExecutor:
         num_batches = len(train_dataloader)
         self._logger.info("num_batches:%d", num_batches)
 
-        with open(self._metrics_log, "a") as f:
-            f.write("epoch,train_loss,val_loss,lr,seconds\n")
+        if not os.path.exists(self._metrics_log) or os.path.getsize(self._metrics_log) == 0:
+            with open(self._metrics_log, "a") as f:
+                f.write("epoch,train_loss,val_loss,lr,seconds\n")
 
         # Optional jax.profiler capture of one full epoch (SURVEY §5.1: the
         # reference only wall-clocks phases; trace capture is first-class here).
