@@ -284,6 +284,9 @@ class GPEISampler:
         self.losses.append(float(loss))
 
     def _bounds(self, spec):
+        # loguniform lower/upper are ALREADY log-space (hyperopt semantics,
+        # see parse_search_space) — the GP works in that space directly and
+        # _normalize/_denormalize log/exp the VALUES, not the bounds.
         kind = spec["type"]
         if kind in ("uniform", "quniform", "loguniform"):
             return spec["lower"], spec["upper"]
