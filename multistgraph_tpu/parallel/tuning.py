@@ -151,7 +151,39 @@ def sample_configurations(
         return configs
     if mode == "random":
         return [{k: draw(s) for k, s in space.items()} for _ in range(num_samples)]
-    raise SearchSpaceError("mode must be 'grid' or 'random'")
+    if mode == "exhaustive":
+        return _exhaustive_configurations(space, num_samples, rng)
+    raise SearchSpaceError("mode must be 'grid', 'random', or 'exhaustive'")
+
+
+def _exhaustive_configurations(
+    space: Dict[str, Dict],
+    num_samples: int,
+    rng: np.random.Generator,
+    max_successive_failures: int = 1000,
+) -> List[Dict[str, Any]]:
+    """The reference's hyperopt 'exhaustive_search' algorithm (ref
+    libcity/executor/hyper_tuning.py:68-106): draw random points, reject any
+    whose hashed parameter assignment was already produced, and stop early —
+    returning fewer than num_samples — after max_successive_failures
+    consecutive duplicates (the space is then considered exhausted). On a
+    purely discrete space this enumerates it in random order without repeats;
+    continuous dimensions effectively never collide."""
+    seen = set()
+    configs: List[Dict[str, Any]] = []
+    failures = 0
+    while len(configs) < num_samples:
+        cfg = {k: _draw_spec(s, rng) for k, s in space.items()}
+        key = hash(frozenset((k, repr(v)) for k, v in cfg.items()))
+        if key in seen:
+            failures += 1
+            if failures > max_successive_failures:
+                break
+            continue
+        failures = 0
+        seen.add(key)
+        configs.append(cfg)
+    return configs
 
 
 class TPESampler:

@@ -83,6 +83,61 @@ def test_timefeatures():
     assert codes[0, 1] == 1 and codes[0, 7 + 5] == 1
 
 
+def test_trajectory_time_helpers():
+    # Ref libcity/utils/dataset.py:18-50,91-154 — vectorized equivalents.
+    import numpy as np
+
+    from multistgraph_tpu.utils import timefeatures as tf
+
+    ts = tf.parse_time(
+        ["2019-01-01T05:30:00Z", "2019-01-05T18:00:00Z", "2019-01-06T23:59:00Z"]
+    )  # Tue, Sat, Sun
+    arr = tf.timestamp2array(ts, t=48)  # 30-min slots -> (3, 57)
+    assert arr.shape == (3, 48 + 9)
+    # Row 0: Tuesday -> dow one-hot at 1, weekday bit set, slot 11 (05:30),
+    # night (05:30 < 06:00).
+    assert arr[0, 1] == 1 and arr[0, 7] == 1
+    assert arr[0, 8 + 11] == 1 and arr[0, 48 + 8] == 0
+    # Row 1: Saturday -> weekend bit 0; 18:00 is night per the ref rule.
+    assert arr[1, 5] == 1 and arr[1, 7] == 0 and arr[1, 48 + 8] == 0
+    # Each row has exactly one dow bit and one slot bit.
+    assert (arr[:, :7].sum(axis=1) == 1).all() and (arr[:, 8:56].sum(axis=1) == 1).all()
+
+    vec = tf.timestamp2vec_origin(ts)
+    assert vec.shape == (3, 8)
+    assert vec[2, 6] == 1 and vec[2, 7] == 0  # Sunday, weekend
+
+    base0 = tf.cal_basetime(ts, base_zero=True)
+    assert str(base0[0]).startswith("2019-01-01T00:00:00")
+    base12 = tf.cal_basetime(ts, base_zero=False)
+    assert str(base12[0]).startswith("2019-01-01T00:00:00")  # 05:30 -> 00:00
+    assert str(base12[1]).startswith("2019-01-05T12:00:00")  # 18:00 -> 12:00
+    off = tf.cal_timeoff(ts, base12)
+    assert np.allclose(off, [5.5, 6.0, 11.983333333333333])
+
+
+def test_time_slot_similarity():
+    # Ref dataset.py:53-75 semantics: Jaccard over each slot's location set,
+    # including self-similarity 1 for non-empty slots and 0 rows for empty.
+    import numpy as np
+
+    from multistgraph_tpu.utils.timefeatures import time_slot_similarity
+
+    data = {
+        "tim_size": 4,
+        "data": {
+            "u1": [[(10, 0), (11, 0), (10, 1)]],  # slot0={10,11}, slot1={10}
+            "u2": [[(11, 1), (12, 2)]],  # slot1+={11} -> {10,11}, slot2={12}
+        },
+    }
+    sim = time_slot_similarity(data)
+    assert sim.shape == (4, 4)
+    assert sim[0, 0] == 1.0 and sim[0, 1] == 1.0  # identical sets {10,11}
+    assert sim[0, 2] == 0.0  # disjoint
+    assert (sim[3] == 0).all()  # empty slot
+    assert np.allclose(sim, sim.T)
+
+
 def test_quickstart_notebook_valid():
     import json
 

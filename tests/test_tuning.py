@@ -49,6 +49,43 @@ def test_random_sampling_count():
     assert len({c["lr"] for c in configs}) == 5
 
 
+def test_exhaustive_sampling_dedups_and_exhausts():
+    # Reference exhaustive_search semantics (hyper_tuning.py:68-106): random
+    # draws, duplicates rejected by hash, early stop when the space runs dry.
+    space = parse_search_space(
+        {
+            "a": {"type": "choice", "list": [1, 2, 3]},
+            "b": {"type": "choice", "list": ["x", "y"]},
+        }
+    )
+    configs = sample_configurations(space, "exhaustive", 50, seed=3)
+    keys = [(c["a"], c["b"]) for c in configs]
+    assert len(keys) == len(set(keys)) == 6  # full space, no repeats
+    # Asking for fewer returns exactly that many, still unique.
+    some = sample_configurations(space, "exhaustive", 4, seed=4)
+    assert len(some) == 4
+    assert len({(c["a"], c["b"]) for c in some}) == 4
+
+
+def test_preprocess_data_helper():
+    # Ref utils.py:209-240: windows + chronological split, eval folded into
+    # train, last anchor excluded (num_samples = T - in - out).
+    import numpy as np
+
+    from multistgraph_tpu.utils import preprocess_data
+
+    data = np.arange(20.0)[:, None]  # (T=20, 1)
+    cfg = {"train_rate": 0.7, "eval_rate": 0.1, "input_window": 4, "output_window": 2}
+    trainx, trainy, testx, testy = preprocess_data(data, cfg)
+    assert trainx.shape == (11, 4, 1) and trainy.shape == (11, 2, 1)
+    assert testx.shape == (3, 4, 1) and testy.shape == (3, 2, 1)
+    # Window contents: X[i] = data[i:i+4], y[i] = data[i+4:i+6].
+    assert (trainx[0, :, 0] == [0, 1, 2, 3]).all()
+    assert (trainy[0, :, 0] == [4, 5]).all()
+    assert (testx[-1, :, 0] == [13, 14, 15, 16]).all()
+    assert (testy[-1, :, 0] == [17, 18]).all()
+
+
 def test_tpe_sampler_prefers_good_region():
     from multistgraph_tpu.parallel.tuning import TPESampler
 
