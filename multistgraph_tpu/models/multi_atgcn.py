@@ -33,6 +33,7 @@ default here, with the SVD/PCA recipe available via config ``svd_init=True``
 """
 
 import functools
+import os
 from typing import Any, Dict, Tuple
 
 import flax.linen as nn
@@ -105,6 +106,10 @@ _DAPPLY_SPEC = "bno,nkio->bkni"     # W^T apply in the reverse scan
 _DSUP_SPEC = "bknc,bmc->knm"        # supports-cotangent accumulation
 _DAGGT_SPEC = "knm,bknc->bmc"       # supports^T applied to dhh/dhzh
 
+# Recurrence-scan unroll factor (A/B knob: env override lets tools/bench_*
+# sweep it on-chip without code edits; 1 = plain while-loop scan).
+_SCAN_UNROLL = int(os.environ.get("MSG_SCAN_UNROLL", "1"))
+
 
 def _atgru_step_forward(h_prev, xs, supports, wg_h, wu_h, bg, bu,
                         rg_h, ru_h, rg_b, ru_b, dtype=None):
@@ -146,7 +151,7 @@ def fused_atgru_layer(dtype, gate_x, upd_x, rg_x, ru_x, w_seq, supports,
         )
         return h_new, h_new
 
-    _, states = jax.lax.scan(step, state0, (gate_x, upd_x, rg_x, ru_x, w_seq))
+    _, states = jax.lax.scan(step, state0, (gate_x, upd_x, rg_x, ru_x, w_seq), unroll=_SCAN_UNROLL)
     return states
 
 
@@ -166,7 +171,7 @@ def _fused_fwd(dtype, gate_x, upd_x, rg_x, ru_x, w_seq, supports,
         )
         return h_new, (h_new,) + tuple(keep(i) for i in inter)
 
-    _, outs = jax.lax.scan(step, state0, (gate_x, upd_x, rg_x, ru_x, w_seq))
+    _, outs = jax.lax.scan(step, state0, (gate_x, upd_x, rg_x, ru_x, w_seq), unroll=_SCAN_UNROLL)
     states, zr_s, hc_s, h_agru_s, zr2_s, hc_res_s = outs
     res = (gate_x, upd_x, rg_x, ru_x, w_seq, supports, wg_h, wu_h, bg, bu,
            rg_h, ru_h, rg_b, ru_b, state0,
@@ -233,7 +238,7 @@ def _fused_bwd(dtype, res, dstates):
     (dstate0, d_sup, d_rg_h, d_ru_h), stacks = jax.lax.scan(
         back_step, carry0,
         (dstates, h_prev_s, zr_s, hc_s, h_agru_s, zr2_s, hc_res_s, w_seq),
-        reverse=True,
+        reverse=True, unroll=_SCAN_UNROLL,
     )
     dpre_g_s, dpre_u_s, dpre_rg_s, dpre_ru_s, dw_seq = stacks
     # ONE contraction over (T,B) per weight — no per-step (N,K,I,O) RMW.
