@@ -196,7 +196,13 @@ class STGNCDE(nn.Module):
                                  jnp.arange(self.substeps, dtype=x.dtype))
             return st, None
 
-        (hT, zT), _ = jax.lax.scan(step, (h0, z0), xs)
+        # Rematerialize each integration step on the backward pass: without
+        # this, reverse-mode AD stacks every RK4 stage's (B, N, Dh, Dh)
+        # field tensor across all T-1 steps (~18.6 GB at B=16/N=237/Dh=64 —
+        # over a v5e chip's 15.75 GB HBM). Saving only the (B, N, Dh)
+        # carries and recomputing the stages costs one extra forward of the
+        # step body, the classic TPU FLOPs-for-HBM trade.
+        (hT, zT), _ = jax.lax.scan(jax.checkpoint(step), (h0, z0), xs)
         del hT
 
         wo, bo = self._lin("head", dh, self.output_window * self.output_dim)
