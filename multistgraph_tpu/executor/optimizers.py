@@ -15,9 +15,35 @@ Torch-semantics notes:
 """
 
 import math
-from typing import Callable, List, Optional
+from typing import Callable, List, NamedTuple, Optional
 
+import jax
+import jax.numpy as jnp
 import optax
+
+
+class _AdagradTorchState(NamedTuple):
+    sum_of_squares: optax.Updates
+
+
+def _scale_by_adagrad_torch(eps: float) -> optax.GradientTransformation:
+    """torch.optim.Adagrad denominator: g / (sqrt(sum g^2) + eps).
+
+    optax.scale_by_rss puts eps INSIDE the rsqrt and zeroes the update while
+    the accumulator is 0 — both differ from torch; verified step-for-step by
+    tests/test_torch_training_parity.py::test_optimizer_step_parity_vs_torch.
+    """
+
+    def init_fn(params):
+        return _AdagradTorchState(jax.tree_util.tree_map(jnp.zeros_like, params))
+
+    def update_fn(updates, state, params=None):
+        del params
+        sums = jax.tree_util.tree_map(lambda g, s: s + g * g, updates, state.sum_of_squares)
+        updates = jax.tree_util.tree_map(lambda g, s: g / (jnp.sqrt(s) + eps), updates, sums)
+        return updates, _AdagradTorchState(sums)
+
+    return optax.GradientTransformation(init_fn, update_fn)
 
 
 def build_optimizer(config) -> optax.GradientTransformation:
@@ -40,10 +66,11 @@ def build_optimizer(config) -> optax.GradientTransformation:
                 core.append(optax.trace(decay=momentum, nesterov=False))
         elif learner == "adagrad":
             core = [optax.add_decayed_weights(weight_decay)] if weight_decay else []
-            core.append(optax.scale_by_rss(initial_accumulator_value=0.0, eps=eps))
+            core.append(_scale_by_adagrad_torch(eps=eps))
         elif learner == "rmsprop":
             core = [optax.add_decayed_weights(weight_decay)] if weight_decay else []
-            core.append(optax.scale_by_rms(decay=alpha, eps=eps))
+            # torch RMSprop adds eps OUTSIDE the sqrt
+            core.append(optax.scale_by_rms(decay=alpha, eps=eps, eps_in_sqrt=False))
             if momentum:
                 core.append(optax.trace(decay=momentum, nesterov=False))
         else:

@@ -5,7 +5,6 @@ The parity test imports the reference PyTorch implementation directly from
 transplants our parameters into it, and asserts forward-output allclose.
 """
 
-import os
 import sys
 
 import jax
@@ -200,68 +199,10 @@ def test_horizon_gating_disables_period_trend():
 # Golden parity vs the reference PyTorch implementation
 # ---------------------------------------------------------------------------
 
-
-def _torch_reference_available():
-    if not os.path.exists(os.path.join(REFERENCE_PATH, "libcity")):
-        return False
-    try:
-        import torch  # noqa: F401
-
-        return True
-    except ImportError:
-        return False
-
-
-def _to_torch_state_dict(our_params, model, torch_model):
-    import torch
-
-    flat = {}
-    for path, leaf in jax.tree_util.tree_leaves_with_path(our_params["params"]):
-        name = jax.tree_util.keystr(path).strip("'[]").replace("']['", "/")
-        flat[name] = np.asarray(leaf)
-
-    sd = torch_model.state_dict()
-
-    def put(torch_name, value):
-        assert torch_name in sd, torch_name
-        assert tuple(sd[torch_name].shape) == value.shape, (
-            torch_name, tuple(sd[torch_name].shape), value.shape)
-        sd[torch_name] = torch.tensor(value)
-
-    h = model.hidden_dim
-    for name, value in flat.items():
-        if name in ("node_emb", "node_vec1", "node_vec2", "weight_tsg"):
-            put(name, value)
-        elif name.startswith("weight_ts_"):
-            put("weight_ts." + name.split("_")[-1], value)
-        elif name == "weights_gru":
-            put("encoder.weights_gru", value)
-        elif name == "static_gru_kernel":
-            put("static_initial_gru.embd.weight", value.T)
-        elif name == "static_gru_bias":
-            put("static_initial_gru.embd.bias", value)
-        elif name == "end_conv_kernel":
-            t_conv = 1 if model.fnn_off else model.input_window
-            w = value.reshape(t_conv, h, -1).transpose(2, 0, 1)[:, :, None, :]
-            put("end_conv.weight", w)
-        elif name == "end_conv_bias":
-            put("end_conv.bias", value)
-        else:
-            layer = name[1]
-            rest = name[3:]
-            if rest.startswith("res_"):
-                cell, kind = rest[4:].split("_", 1)
-                torch_base = "encoder.res_cells.{}.{}".format(layer, cell)
-                if kind == "kernel":
-                    put(torch_base + ".weight", value.T)
-                else:
-                    put(torch_base + ".bias", value)
-            else:
-                cell, kind = rest.split("_", 1)
-                torch_kind = {"weights_g": "weights_g", "pool": "weights_pool",
-                              "bias_pool": "bias_pool"}[kind]
-                put("encoder.agru_cells.{}.{}.{}".format(layer, cell, torch_kind), value)
-    return sd
+from torch_bridge import (  # noqa: E402
+    to_torch_state_dict as _to_torch_state_dict,
+    torch_reference_available as _torch_reference_available,
+)
 
 
 @pytest.mark.skipif(not _torch_reference_available(), reason="reference/torch unavailable")
