@@ -9,11 +9,17 @@ archives are absent from the reference repo).
 
 Prints ONE JSON line:
   {"metric": "epochs_per_hour_dc237", "value": ..., "unit": "epochs/hr",
-   "vs_baseline": ...}
+   "vs_baseline": ..., "dtype": "bfloat16"}
 vs_baseline compares against the reference PyTorch implementation measured on
 the shared host CPU (BASELINE_MEASURED.json, tools/measure_reference_baseline.py).
+
+`--multiseed S` instead times the protocol's real workload — S seeds
+(run_model_parameter.py trains 4 per config) — as ONE vmapped epoch program
+(parallel/multiseed.py) and reports AGGREGATE epochs/hr across seeds, with
+the measured speedup over running the same seeds sequentially in stderr.
 """
 
+import argparse
 import json
 import os
 import sys
@@ -54,6 +60,11 @@ def _probe_backend(timeout_s=120):
 
 
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--multiseed", type=int, default=0,
+                    help="time S protocol seeds in one vmapped epoch program "
+                         "and report aggregate epochs/hr (0 = headline mode)")
+    cli = ap.parse_args()
     _probe_backend()
     import jax
 
@@ -123,6 +134,11 @@ def main():
     for i in range(TIMED_EPOCHS):
         loss = run_epoch(keys[i + 1])
     epoch_seconds = (time.time() - t0) / TIMED_EPOCHS
+
+    if cli.multiseed > 1:
+        _bench_multiseed(cli.multiseed, config, model, executor, train_loader,
+                         feature, epoch_seconds)
+        return
     epochs_per_hour = 3600.0 / epoch_seconds
     steps_per_second = len(train_loader) / epoch_seconds
     step_ms = 1e3 / steps_per_second
@@ -170,6 +186,79 @@ def main():
         "value": round(epochs_per_hour, 2),
         "unit": "epochs/hr",
         "vs_baseline": round(vs_baseline, 2) if vs_baseline else 1.0,
+        "dtype": config.get("compute_dtype", "float32"),
+    }))
+
+
+def _bench_multiseed(S, config, model, executor, train_loader, feature,
+                     sequential_epoch_s):
+    """Aggregate throughput of S seeds trained in ONE vmapped epoch program
+    (parallel/multiseed.py) vs S sequential runs (= S x the single-seed epoch
+    just measured, since sequential seeds share the compiled program)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    seeds = [0, 10, 100, 1000][:S] + list(range(2, 2 + max(0, S - 4)))
+    total_len = (
+        feature.get("len_closeness", 0) + feature.get("len_period", 0)
+        + feature.get("len_trend", 0)
+    ) or config.get("input_window", 1)
+    dummy = jnp.zeros((config.get("batch_size", 16), total_len,
+                       feature["num_nodes"], feature.get("feature_dim", 2)))
+    init_keys = jnp.stack([jax.random.PRNGKey(int(s)) for s in seeds])
+    params = jax.jit(jax.vmap(lambda k: model.init(k, dummy, train=False)))(init_keys)
+    opt_state = jax.jit(jax.vmap(executor.optimizer.init))(params["params"])
+    train_epoch = jax.jit(
+        jax.vmap(executor._train_epoch_impl, in_axes=(0, 0, None, None, 0, 0, 0, None)),
+        donate_argnums=(0, 1))
+
+    num_batches = len(train_loader)
+    bsz = train_loader.batch_size
+    perm_rngs = [np.random.default_rng(int(s)) for s in seeds]
+    lrs = jnp.full((S,), config.get("learning_rate", 3e-3), dtype=jnp.float32)
+
+    def run_vmapped_epoch(params, opt_state, epoch_idx):
+        perms, keys = [], []
+        for i, s in enumerate(seeds):
+            order = np.arange(train_loader.num_samples)
+            perm_rngs[i].shuffle(order)
+            perms.append(order[: num_batches * bsz].reshape(num_batches, bsz))
+            keys.append(jax.random.fold_in(jax.random.PRNGKey(int(s)), epoch_idx))
+        params, opt_state, mean_loss = train_epoch(
+            params, opt_state, train_loader.x, train_loader.y,
+            jnp.asarray(np.stack(perms)), jnp.stack(keys), lrs, 0)
+        return params, opt_state, np.asarray(mean_loss)
+
+    t0 = time.time()
+    params, opt_state, losses = run_vmapped_epoch(params, opt_state, 0)
+    log("multiseed warmup (compile) {:.1f}s, losses {}".format(
+        time.time() - t0, np.round(losses, 4)))
+    t0 = time.time()
+    for e in range(TIMED_EPOCHS):
+        params, opt_state, losses = run_vmapped_epoch(params, opt_state, e + 1)
+    epoch_s = (time.time() - t0) / TIMED_EPOCHS
+    aggregate = S * 3600.0 / epoch_s
+    log(
+        "multiseed x{}: {:.3f}s/epoch for ALL seeds -> {:.0f} aggregate "
+        "epochs/hr | {:.2f}x over {} sequential runs ({:.0f} epochs/hr)".format(
+            S, epoch_s, aggregate, S * sequential_epoch_s / epoch_s, S,
+            S * 3600.0 / (S * sequential_epoch_s)))
+
+    vs_baseline = None
+    baseline_path = os.path.join(ROOT, "BASELINE_MEASURED.json")
+    if os.path.exists(baseline_path):
+        with open(baseline_path) as f:
+            ref = json.load(f)
+        # the reference trains seeds one after another, so its aggregate
+        # rate across seeds equals its single-run rate
+        vs_baseline = aggregate / ref["reference_epochs_per_hour"]
+    print(json.dumps({
+        "metric": "aggregate_epochs_per_hour_dc237_x{}seeds".format(S),
+        "value": round(aggregate, 2),
+        "unit": "epochs/hr",
+        "vs_baseline": round(vs_baseline, 2) if vs_baseline else 1.0,
+        "dtype": config.get("compute_dtype", "float32"),
     }))
 
 

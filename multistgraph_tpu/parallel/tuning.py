@@ -16,9 +16,10 @@ compile service dedupe identical programs across trials); schedulers:
     stopped once its running-best validation loss falls behind the median of
     prior trials' running-best at the same epoch (sequential trials only).
 
-Search modes: 'grid' / 'random' point sampling, 'tpe' (hyperopt-TPE-class
-density-ratio search), 'bayes' (BayesOptSearch-class GP expected-improvement,
-ref pipeline.py:196-201).
+Search modes: 'grid' / 'random' / 'exhaustive' point sampling, 'tpe'
+(hyperopt-TPE-class density-ratio search), 'atpe' (hyperopt's adaptive TPE:
+the sampler's own hyperparameters track the trial history), 'bayes'
+(BayesOptSearch-class GP expected-improvement, ref pipeline.py:196-201).
 
 Search-space DSLs:
   * JSON dict (ref pipeline.py:65-116):
@@ -289,6 +290,35 @@ class TPESampler:
         return out
 
 
+class ATPESampler(TPESampler):
+    """Adaptive TPE (hyperopt's 'atpe' capability, ref
+    libcity/executor/hyper_tuning.py:109-233 mode dispatch).
+
+    Like hyperopt's ATPE, the sampler's own hyperparameters adapt to the
+    trial history instead of staying fixed: the good-group size follows
+    hyperopt's ceil(gamma * sqrt(n)) rule (capped at 25) so the elite set
+    grows sublinearly, and the candidate pool grows with log2(n) so later
+    proposals search the density ratio more finely once the surrogate has
+    signal. With few observations it behaves exactly like TPE's prior draws.
+    """
+
+    def __init__(self, space: Dict[str, Dict], seed: int = 0, gamma: float = 0.25,
+                 n_candidates: int = 24):
+        super().__init__(space, seed=seed, gamma=gamma, n_candidates=n_candidates)
+        self._base_gamma = gamma
+        self._base_candidates = n_candidates
+
+    def suggest(self) -> Dict[str, Any]:
+        n = len(self.losses)
+        if n >= 4:
+            n_good = min(int(np.ceil(self._base_gamma * np.sqrt(n))), 25)
+            # TPESampler.suggest derives the split as ceil(gamma*n): express
+            # the adaptive elite count through an equivalent effective gamma.
+            self.gamma = max(n_good - 0.5, 0.5) / n
+            self.n_candidates = int(self._base_candidates * (1 + np.log2(n)))
+        return super().suggest()
+
+
 class GPEISampler:
     """Gaussian-process expected-improvement search (Ray BayesOptSearch
     capability class, ref pipeline.py:196-201).
@@ -466,12 +496,15 @@ def hyper_parameter(
     else:
         parsed = parse_search_space(space)
 
-    if mode in ("tpe", "bayes"):
+    if mode in ("tpe", "atpe", "bayes"):
         # Sequential model-based search: each next trial is proposed from the
-        # surrogate fit on past trials (TPE: good/bad density ratio; bayes:
-        # GP expected improvement). In-process so compiled programs are
-        # deduped across trials by the compile service.
-        sampler = (TPESampler if mode == "tpe" else GPEISampler)(parsed, seed=seed)
+        # surrogate fit on past trials (TPE: good/bad density ratio; atpe:
+        # TPE with history-adaptive hyperparameters; bayes: GP expected
+        # improvement). In-process so compiled programs are deduped across
+        # trials by the compile service.
+        sampler = {"tpe": TPESampler, "atpe": ATPESampler, "bayes": GPEISampler}[mode](
+            parsed, seed=seed
+        )
         results = {}
         for i in range(num_samples):
             params = sampler.suggest()

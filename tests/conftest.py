@@ -20,6 +20,25 @@ jax.config.update("jax_platforms", "cpu")
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
+# `pytest -m smoke` — a <2 min cross-section (config/data/graph/losses/
+# metrics-IO + the flagship forward compile) for quick sanity between edits;
+# the full 39-file suite remains the merge gate.
+_SMOKE_FILES = {
+    "test_config.py",
+    "test_data.py",
+    "test_graph.py",
+    "test_losses.py",
+    "test_ranking_and_grid.py",
+    "test_tbwriter.py",
+}
+_SMOKE_TESTS = {"test_entry_compiles_and_runs"}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if item.fspath.basename in _SMOKE_FILES or item.name in _SMOKE_TESTS:
+            item.add_marker(pytest.mark.smoke)
+
 
 @pytest.fixture(scope="session")
 def synthetic_dataset(tmp_path_factory):

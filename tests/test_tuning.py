@@ -109,6 +109,37 @@ def test_tpe_sampler_prefers_good_region():
     assert sum(f["opt"] == "a" for f in final) >= 8
 
 
+def test_atpe_sampler_adapts_and_converges():
+    """ATPE = TPE whose own hyperparameters track the history (hyperopt
+    'atpe', ref libcity/executor/hyper_tuning.py:109-233): the elite-group
+    size follows ceil(gamma*sqrt(n)) and the candidate pool grows with n —
+    and it still finds the good region."""
+    from multistgraph_tpu.parallel.tuning import ATPESampler
+
+    space = parse_search_space(
+        {
+            "lr": {"type": "uniform", "lower": 0.0, "upper": 1.0},
+            "opt": {"type": "choice", "list": ["a", "b"]},
+        }
+    )
+    s = ATPESampler(space, seed=0)
+    rng = np.random.default_rng(1)
+    for _ in range(30):
+        params = s.suggest()
+        loss = (params["lr"] - 0.2) ** 2 + (0.0 if params["opt"] == "a" else 0.5)
+        loss += 0.01 * rng.normal()
+        s.observe(params, loss)
+    # adaptive schedule engaged: n=30 -> elite count ceil(0.25*sqrt(30)) = 2,
+    # candidate pool 24*(1+log2(30))
+    s.suggest()
+    assert int(np.ceil(s.gamma * 30)) == int(np.ceil(0.25 * np.sqrt(30)))
+    assert s.n_candidates == int(24 * (1 + np.log2(30)))
+    final = [s.suggest() for _ in range(10)]
+    lrs = np.array([f["lr"] for f in final])
+    assert abs(np.median(lrs) - 0.2) < 0.15
+    assert sum(f["opt"] == "a" for f in final) >= 8
+
+
 @pytest.fixture(scope="module")
 def tune_env(tmp_path_factory):
     from multistgraph_tpu.data.synthetic import make_synthetic_dataset
