@@ -97,6 +97,7 @@ class STGNCDE(nn.Module):
     cheb_k: int = 2
     substeps: int = 1
     control: str = "linear"  # "linear" | "cubic" (natural cubic spline)
+    compute_dtype: Any = None  # e.g. "bfloat16" — field matmuls only, f32 accum
 
     @property
     def start_dim(self) -> int:
@@ -148,13 +149,33 @@ class STGNCDE(nn.Module):
         bias_pool = self.param(
             "g_bias_pool",
             lambda k, s=(self.embed_dim, dh * dh): torch_style_init(k, s))
-        wpool = jnp.einsum("nd,dkio->nkio", emb, pool)
+        # The naive evaluation order materializes the per-node weight pool
+        # emb @ pool -> (N, K, I, Dh**2) — 497 MB at DC-237 defaults — and
+        # streams it from HBM at EVERY RK4 stage as N tiny grouped matmuls
+        # (M = B = 16, ~12% MXU row occupancy). Reassociating the same
+        # multilinear contraction to fold emb into the ACTIVATIONS instead
+        # (out[b,n,o] = sum_{k,i,d} yg[b,k,n,i]·emb[n,d]·pool[d,k,i,o])
+        # turns each stage into one dense (B·N, K·I·D) @ (K·I·D, Dh**2)
+        # matmul: full MXU rows, and only the ~21 MB generator `pool` ever
+        # leaves HBM.
+        cdtype = jnp.dtype(self.compute_dtype) if self.compute_dtype else None
+        pool_mat = jnp.transpose(pool, (1, 2, 0, 3)).reshape(
+            self.cheb_k * self.field_dim * self.embed_dim, dh * dh)
         bpool = emb @ bias_pool
+        if cdtype is not None:
+            pool_mat = pool_mat.astype(cdtype)
+            emb_c = emb.astype(cdtype)
+        else:
+            emb_c = emb
 
         def g(z):
             y = jax.nn.relu(z @ wg1 + bg1)
             yg = jnp.einsum("knm,bmc->bknc", supports, y)
-            y = jnp.einsum("bkni,nkio->bno", yg, wpool) + bpool
+            if cdtype is not None:
+                yg = yg.astype(cdtype)
+            yge = jnp.einsum("bkni,nd->bnkid", yg, emb_c).reshape(b, n, -1)
+            y = jnp.einsum("bnj,jo->bno", yge, pool_mat,
+                           preferred_element_type=jnp.float32) + bpool
             return jnp.tanh(y).reshape(b, n, dh, dh)
 
         def field(state, dxdt):
@@ -201,8 +222,12 @@ class STGNCDE(nn.Module):
         # field tensor across all T-1 steps (~18.6 GB at B=16/N=237/Dh=64 —
         # over a v5e chip's 15.75 GB HBM). Saving only the (B, N, Dh)
         # carries and recomputing the stages costs one extra forward of the
-        # step body, the classic TPU FLOPs-for-HBM trade.
-        (hT, zT), _ = jax.lax.scan(jax.checkpoint(step), (h0, z0), xs)
+        # step body, the classic TPU FLOPs-for-HBM trade. prevent_cse=False:
+        # the checkpointed body sits directly under lax.scan, which already
+        # rules out the CSE that the default optimization barriers guard
+        # against — the barriers would only inhibit XLA fusion.
+        (hT, zT), _ = jax.lax.scan(
+            jax.checkpoint(step, prevent_cse=False), (h0, z0), xs)
         del hT
 
         wo, bo = self._lin("head", dh, self.output_window * self.output_dim)
@@ -230,4 +255,5 @@ def build_stgncde(config, data_feature) -> STGNCDE:
         cheb_k=config.get("cheb_order", 2),
         substeps=config.get("ncde_substeps", 1),
         control=config.get("ncde_control", "linear"),
+        compute_dtype=config.get("compute_dtype", None),
     )

@@ -13,13 +13,18 @@ gated temporal conv, all applied to the same lifted input). The 2 x
 num_blocks block outputs aggregate with an elementwise max, then a
 two-layer head maps each node's remaining (T', C) window to the horizon.
 
-The continuous graph propagation integrates the restart-augmented linear
-ODE  dH/dt = alpha ⊙ (Â H − H) + H0  from H(0)=H0 over t in [0, 1] with
-fixed-step RK4 under ``lax.scan`` — static shapes, no data-dependent
-control flow under jit, and the (N, N) propagation is one MXU matmul per
-stage. The restart term H0 is the paper's defense against oversmoothing:
-the steady state blends diffusion with the block input instead of
-collapsing to the graph's dominant eigenvector.
+The continuous graph propagation solves the restart-augmented linear ODE
+dH/dt = alpha ⊙ (Â H − H) + H0  from H(0)=H0 over t in [0, 1]. Because Â
+is STATIC and symmetric, the default solver is the exact closed form in
+Â's eigenbasis (computed once on the host at trace time): per channel the
+solution is elementwise (e^z + phi1(z)) in eigencoordinates with
+z = alpha_c (lam − 1) — two (N, N) MXU matmuls per block instead of a
+time-stepping loop, and zero integration error. ``ode_solver='rk4'``
+keeps the fixed-step RK4 ``lax.scan`` integrator (used automatically for
+asymmetric supports, and as the oracle the spectral path is tested
+against). The restart term H0 is the paper's defense against
+oversmoothing: the steady state blends diffusion with the block input
+instead of collapsing to the graph's dominant eigenvector.
 
 Deviations (documented for the parity reviewer): the semantic DTW runs on
 per-node mean daily profiles with a Sakoe-Chiba band (the official code
@@ -125,12 +130,21 @@ class STGODE(nn.Module, _ConvBaselineMixin):
     num_blocks: int = 3
     ode_steps: int = 6
     head_dim: int = 128
+    # 'spectral' (default): closed-form solution of the linear ODE in the
+    # static graph's eigenbasis — 2 MXU matmuls per block instead of RK4's
+    # 24 graph matvecs (~12x fewer ODE FLOPs), and exact in time.
+    # 'rk4': the fixed-step integrator (fallback for asymmetric supports,
+    # and the oracle the spectral path is tested against).
+    ode_solver: str = "spectral"
 
-    def _ode(self, name, h, a):
-        """RK4 integration of dH/dt = alpha ⊙ (Â H − H) + H0 over [0, 1]."""
+    def _alpha(self, name, h):
         alpha_raw = self.param("{}_alpha".format(name),
                                lambda k, s=(h.shape[-1],): jnp.zeros(s))
-        alpha = jax.nn.sigmoid(alpha_raw.astype(h.dtype))
+        return jax.nn.sigmoid(alpha_raw.astype(h.dtype))
+
+    def _ode_rk4(self, name, h, a):
+        """RK4 integration of dH/dt = alpha ⊙ (Â H − H) + H0 over [0, 1]."""
+        alpha = self._alpha(name, h)
         h0 = h
         dt = jnp.asarray(1.0 / self.ode_steps, h.dtype)
 
@@ -146,6 +160,27 @@ class STGODE(nn.Module, _ConvBaselineMixin):
 
         y, _ = jax.lax.scan(step, h, None, length=self.ode_steps)
         return y
+
+    def _ode_spectral(self, name, h, u, lam):
+        """Exact solution of the same linear ODE in Â's eigenbasis.
+
+        With Â = U diag(lam) Uᵀ (static, so the eigendecomposition happens
+        once on the host at trace time), the per-channel operator
+        L_c = alpha_c (Â − I) diagonalizes jointly: in the eigenbasis the
+        solution of dH/dt = L H + H0 at t=1 is elementwise
+        (e^z + phi1(z)) ĥ with z = alpha_c (lam − 1) and
+        phi1(z) = (e^z − 1)/z. Two (N, N) matmuls total, no time stepping,
+        zero integration error; gradients flow to alpha through exp/phi1.
+        """
+        alpha = self._alpha(name, h)
+        z = alpha[None, :] * (lam[:, None] - 1.0)  # (N_eig, C), z <= 0
+        # phi1 via expm1 is accurate for z -> 0-; guard the removable
+        # singularity at exactly 0 (lam = 1 eigenvalue, the constant mode)
+        safe = jnp.where(jnp.abs(z) < 1e-12, 1.0, z)
+        phi1 = jnp.where(jnp.abs(z) < 1e-12, 1.0 + 0.5 * z, jnp.expm1(safe) / safe)
+        scale = jnp.exp(z) + phi1
+        hhat = jnp.einsum("nk,btnc->btkc", u, h)
+        return jnp.einsum("nk,btkc->btnc", u, hhat * scale)
 
     def _gated_tcn(self, name, x, dim_in, dim_out):
         """tanh(P) * sigmoid(Q) temporal conv, trims kt-1 steps, residual."""
@@ -174,13 +209,29 @@ class STGODE(nn.Module, _ConvBaselineMixin):
         wk, wb = _linear(self, "lift", self.input_dim, self.hidden_dim)
         h = h @ wk + wb  # (B, T, N, C)
 
-        sup = jnp.asarray(self.supports, h.dtype)  # (2, N, N)
+        sup_np = np.asarray(self.supports, np.float32)  # static module attr
+        sup = jnp.asarray(sup_np, h.dtype)  # (2, N, N)
+        # Eigendecompose each (symmetric) support ONCE on the host at trace
+        # time; the spectral path then solves the linear ODE exactly with
+        # two matmuls per block. An asymmetric support (possible for a
+        # directed .rel spatial graph) has no orthogonal eigenbasis — those
+        # views fall back to RK4.
+        eig = [None] * sup_np.shape[0]
+        if self.ode_solver == "spectral":
+            for v in range(sup_np.shape[0]):
+                a64 = np.asarray(sup_np[v], np.float64)
+                if np.allclose(a64, a64.T, atol=1e-6):
+                    lam, u = np.linalg.eigh(a64)
+                    eig[v] = (jnp.asarray(u, h.dtype), jnp.asarray(lam, h.dtype))
         outs = []
         for v in range(sup.shape[0]):
             for blk in range(self.num_blocks):
                 name = "v{}b{}".format(v, blk)
                 z = self._gated_tcn(name + "_t1", h, self.hidden_dim, self.hidden_dim)
-                z = self._ode(name + "_ode", z, sup[v])
+                if eig[v] is not None:
+                    z = self._ode_spectral(name + "_ode", z, *eig[v])
+                else:
+                    z = self._ode_rk4(name + "_ode", z, sup[v])
                 z = self._gated_tcn(name + "_t2", z, self.hidden_dim, self.hidden_dim)
                 outs.append(z)
         agg = jnp.max(jnp.stack(outs), axis=0)  # (B, T', N, C)
@@ -219,4 +270,5 @@ def build_stgode(config, data_feature) -> STGODE:
         num_blocks=config.get("stgode_blocks", 3),
         ode_steps=config.get("ode_steps", 6),
         head_dim=config.get("stgode_head_dim", 128),
+        ode_solver=config.get("stgode_solver", "spectral"),
     )

@@ -144,6 +144,45 @@ def test_stgode_rejects_short_window():
         model.init(jax.random.PRNGKey(0), short)
 
 
+def test_stgode_spectral_matches_rk4():
+    """The default 'spectral' solver is the CLOSED-FORM solution of the
+    linear restart ODE in the static graph's eigenbasis (2 matmuls instead
+    of RK4's 24 graph matvecs). A fine-step RK4 run with the same params
+    must converge to it — proving the rewrite changed the cost, not the
+    semantics."""
+    spec = _stgode()  # ode_solver='spectral' default
+    rk4 = _stgode(ode_solver="rk4", ode_steps=64)
+    x = _x()
+    params = spec.init(jax.random.PRNGKey(0), x)
+    out_s = np.asarray(spec.apply(params, x))
+    out_r = np.asarray(rk4.apply(params, x))
+    np.testing.assert_allclose(out_s, out_r, atol=2e-5, rtol=2e-5)
+    # gradients agree too (alpha gets its gradient through exp/phi1 now)
+    gs = jax.grad(lambda p: jnp.mean(jnp.square(spec.apply(p, x))))(params)
+    gr = jax.grad(lambda p: jnp.mean(jnp.square(rk4.apply(p, x))))(params)
+    for a, b in zip(jax.tree_util.tree_leaves(gs), jax.tree_util.tree_leaves(gr)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4, rtol=5e-3)
+
+
+def test_stgode_asymmetric_support_falls_back_to_rk4(rng):
+    """A directed spatial graph has no orthogonal eigenbasis; the spectral
+    path must detect the asymmetry at trace time and integrate that view
+    with RK4 instead (same result as forcing ode_solver='rk4')."""
+    asym = rng.uniform(size=(N, N)).astype(np.float32)  # NOT symmetric
+    asym = asym / asym.sum(axis=1, keepdims=True)
+    supports = np.stack([asym, asym])
+    kwargs = dict(supports=supports, output_window=TOUT, output_dim=1,
+                  input_dim=F, hidden_dim=8, kt=3, num_blocks=2, ode_steps=3,
+                  head_dim=16)
+    auto = STGODE(**kwargs)
+    forced = STGODE(ode_solver="rk4", **kwargs)
+    x = _x()
+    params = auto.init(jax.random.PRNGKey(0), x)
+    np.testing.assert_allclose(
+        np.asarray(auto.apply(params, x)), np.asarray(forced.apply(params, x)),
+        atol=1e-6)
+
+
 def test_stgode_ode_is_stable_over_many_steps():
     """RK4 on the non-expansive field must not blow up with a long horizon."""
     model = _stgode(ode_steps=64)
@@ -250,6 +289,37 @@ def test_cubic_coeffs_linear_data_degenerate():
     np.testing.assert_allclose(b, 3.0, atol=1e-5)
     np.testing.assert_allclose(c, 0.0, atol=1e-5)
     np.testing.assert_allclose(d, 0.0, atol=1e-5)
+
+
+def test_stgncde_gfield_reassociation_is_exact(rng):
+    """The spatial field's contraction was reassociated to fold the node
+    embedding into the activations (one dense (B·N, K·I·D) @ (K·I·D, Dh²)
+    matmul) instead of materializing the (N, K, I, Dh²) per-node pool —
+    497 MB at DC-237 defaults, streamed at every RK4 stage. Same multilinear
+    map, so the two orders must agree to float rounding."""
+    b_, k_, n_, i_, d_, o_ = 3, 2, 7, 5, 4, 9
+    yg = rng.normal(size=(b_, k_, n_, i_)).astype(np.float32)
+    emb = rng.normal(size=(n_, d_)).astype(np.float32)
+    pool = rng.normal(size=(d_, k_, i_, o_)).astype(np.float32)
+    naive = np.einsum("bkni,nkio->bno", yg, np.einsum("nd,dkio->nkio", emb, pool))
+    pool_mat = np.transpose(pool, (1, 2, 0, 3)).reshape(k_ * i_ * d_, o_)
+    yge = np.einsum("bkni,nd->bnkid", yg, emb).reshape(b_, n_, -1)
+    fused = np.einsum("bnj,jo->bno", yge, pool_mat)
+    np.testing.assert_allclose(fused, naive, atol=1e-5, rtol=1e-5)
+
+
+def test_stgncde_bf16_compute_close_to_f32():
+    """compute_dtype='bfloat16' casts only the big field matmuls (f32
+    accumulation via preferred_element_type); the forward must stay close to
+    exact f32."""
+    model32 = _stgncde()
+    model16 = _stgncde(compute_dtype="bfloat16")
+    x = _x()
+    params = model32.init(jax.random.PRNGKey(0), x)
+    out32 = np.asarray(model32.apply(params, x))
+    out16 = np.asarray(model16.apply(params, x))
+    assert out16.dtype == np.float32  # bf16 never leaks out of the fields
+    np.testing.assert_allclose(out16, out32, atol=0.05, rtol=0.05)
 
 
 def test_stgncde_cubic_control_runs_and_differs():
