@@ -267,3 +267,17 @@ def test_plot_families_s_small_params_ablation(tmp_path):
     change = mod.plot_ablation(str(abl_csv), reference="full", out=str(tmp_path / "a.png"))
     assert (tmp_path / "a.png").exists()
     assert abs(change["no_gcn"] - 20.0) < 1e-6
+
+
+def test_plot_raw_data_families(synthetic_dataset, tmp_path):
+    """The exploratory raw-data figures (ref data_prepare/1.4-data_prepare_plot.py:1-342):
+    all six families render from a dataset's atomic files alone."""
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "plot_raw_data.py"),
+         synthetic_dataset, "SYN_SMALL", "--out_dir", str(tmp_path)],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    for fam in ("spatial", "daily", "weekly", "graph", "static", "external"):
+        f = tmp_path / "SYN_SMALL_{}.png".format(fam)
+        assert f.exists() and f.stat().st_size > 5000, fam

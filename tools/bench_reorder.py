@@ -1,0 +1,132 @@
+"""SpMM throughput at large-graph scale, with and without node reordering.
+
+BASELINE.json config 5 scale point (1M nodes): the x-gather's column
+locality is the measured limiter (docs/DESIGN.md §9 — 501 GB/s effective vs
+the 733 GB/s HBM ceiling at 1M nodes, while 50k reaches 701). RCM/community
+reordering concentrates edges near the diagonal, cutting both the number of
+128x128 BSR tiles touched and the column working set each row block gathers.
+This bench builds ONE graph and BSR-tiles it under each ordering, then
+slope-times the same SpMM kernel on each layout.
+
+Reported per ordering: nnz_blocks, ms/iter, edges/s (real work — invariant
+to padding), block-granular GFLOP/s, and effective GB/s of the tile bytes
+actually streamed.
+
+Usage: python tools/bench_reorder.py [num_nodes] [avg_degree] [feat]
+                                     [orderings, default none,rcm,community]
+"""
+
+import functools
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from multistgraph_tpu.ops import bsr
+from multistgraph_tpu.ops.spmm import spmm
+
+
+def _edges(num_nodes, avg_degree, seed=0):
+    """The same edge distribution random_spatial_graph tiles (bsr.py:242),
+    exposed as raw COO so each ordering tiles the identical edge set."""
+    rng = np.random.default_rng(seed)
+    num_edges = num_nodes * avg_degree
+    hub_fraction, num_hubs, locality = 0.05, 8, 256
+    n_local = int(num_edges * (1 - hub_fraction))
+    src_local = rng.integers(0, num_nodes, n_local)
+    offset = rng.integers(-locality, locality + 1, n_local)
+    dst_local = np.clip(src_local + offset, 0, num_nodes - 1)
+    n_hub = num_edges - n_local
+    src_hub = rng.integers(0, num_nodes, n_hub)
+    hubs = rng.integers(0, num_nodes, num_hubs)
+    dst_hub = hubs[rng.integers(0, num_hubs, n_hub)]
+    src = np.concatenate([src_local, src_hub])
+    dst = np.concatenate([dst_local, dst_hub])
+    w = rng.uniform(0.1, 1.0, num_edges).astype(np.float32)
+    return src, dst, w
+
+
+def main():
+    num_nodes = int(sys.argv[1]) if len(sys.argv) > 1 else 1 << 20
+    avg_degree = int(sys.argv[2]) if len(sys.argv) > 2 else 16
+    feat = int(sys.argv[3]) if len(sys.argv) > 3 else 128
+    orderings = (sys.argv[4].split(",") if len(sys.argv) > 4
+                 else ["none", "rcm", "community"])
+
+    from tools.timing import slope_time
+
+    src, dst, w = _edges(num_nodes, avg_degree)
+    rng = np.random.default_rng(1)
+    x_host = rng.normal(size=(0, feat))  # placeholder, sized per graph below
+
+    results = {}
+    for ordering in orderings:
+        t0 = time.time()
+        graph = bsr.bsr_from_coo(
+            src, dst, w, num_nodes,
+            reorder=None if ordering == "none" else ordering)
+        build_s = time.time() - t0
+        print(
+            "[{}] build {:.1f}s nnz_blocks={} ({:.3f}% dense) nnz_edges={}".format(
+                ordering, build_s, graph.nnz_blocks,
+                100.0 * graph.nnz_blocks / graph.num_row_blocks ** 2,
+                graph.nnz_edges),
+            file=sys.stderr, flush=True)
+        if x_host.shape[0] != graph.padded_nodes:
+            x_host = rng.normal(size=(graph.padded_nodes, feat)).astype(np.float32)
+        values = jnp.asarray(graph.values)
+        row_of = jnp.asarray(graph.row_of)
+        col_of = jnp.asarray(graph.col_of)
+        x = jnp.asarray(x_host)
+
+        def make_fn(k, values=values, row_of=row_of, col_of=col_of, x=x):
+            @functools.partial(jax.jit, static_argnums=2)
+            def fn(vv, xx, kk):
+                def body(i, c):
+                    xi = xx.at[0, 0].add((c * 1e-12).astype(xx.dtype))
+                    return c + jnp.sum(spmm(vv, row_of, col_of, xi)[0],
+                                       dtype=jnp.float32) * 1e-12
+                return jax.lax.fori_loop(0, kk, body, jnp.float32(0.0))
+            return lambda: fn(values, x, k)
+
+        per_iter, totals = slope_time(make_fn, trips=(2, 4, 8))
+        tile_bytes = graph.nnz_blocks * (graph.block ** 2 + graph.block * feat) * 4
+        flops = 2 * graph.nnz_blocks * graph.block ** 2 * feat
+        results[ordering] = {
+            "nnz_blocks": int(graph.nnz_blocks),
+            "spmm_ms": round(per_iter * 1e3, 3),
+            "edges_per_s": round(graph.nnz_edges / per_iter),
+            "gflops_block_granular": round(flops / per_iter / 1e9, 1),
+            "gbps_effective": round(tile_bytes / per_iter / 1e9, 1),
+            "build_s": round(build_s, 1),
+        }
+        print("[{}] {}".format(ordering, results[ordering]),
+              file=sys.stderr, flush=True)
+
+    base = results.get("none")
+    best = min(results.values(), key=lambda r: r["spmm_ms"])
+    print(json.dumps({
+        "metric": "spmm_edges_per_second_{}m_reordered".format(
+            round(num_nodes / 1e6, 1)),
+        "value": best["edges_per_s"],
+        "unit": "edges/s",
+        "extras": {
+            "num_nodes": num_nodes,
+            "avg_degree": avg_degree,
+            "feat": feat,
+            "speedup_vs_unordered": (
+                round(base["spmm_ms"] / best["spmm_ms"], 2) if base else None),
+            "orderings": results,
+            "device": jax.devices()[0].platform,
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()
