@@ -12,8 +12,17 @@ Reported per ordering: nnz_blocks, ms/iter, edges/s (real work — invariant
 to padding), block-granular GFLOP/s, and effective GB/s of the tile bytes
 actually streamed.
 
+Two graph families (--family):
+  * spatial — random_spatial_graph's distribution (ids already near-optimal:
+    |dst-src| < 256 locality). Reordering cannot beat the natural order
+    here; the bench quantifies that honestly.
+  * planted — community structure with ids SCRAMBLED across the range
+    (tests/test_reorder_community.py:planted_partition at scale): raw
+    tiling is pathological, clustering is the enabler.
+
 Usage: python tools/bench_reorder.py [num_nodes] [avg_degree] [feat]
                                      [orderings, default none,rcm,community]
+                                     [--family spatial|planted]
 """
 
 import functools
@@ -25,11 +34,17 @@ import time
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 
 import jax
+
+# honour an explicit JAX_PLATFORMS (e.g. cpu smoke tests) — the TPU relay
+# plugin otherwise pins the platform regardless of the env var
+if os.environ.get("JAX_PLATFORMS"):
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
 import jax.numpy as jnp
 import numpy as np
 
 from multistgraph_tpu.ops import bsr
-from multistgraph_tpu.ops.spmm import spmm
+from multistgraph_tpu.ops.spmm import spmm, spmm_jax
 
 
 def _edges(num_nodes, avg_degree, seed=0):
@@ -52,16 +67,47 @@ def _edges(num_nodes, avg_degree, seed=0):
     return src, dst, w
 
 
+def _planted_edges(num_nodes, avg_degree, num_comms=None, seed=0):
+    """Planted-partition edges with node ids scrambled across the range
+    (tests/test_reorder_community.py:planted_partition, scaled): ~90% of
+    edges stay inside one of `num_comms` communities whose members are
+    spread uniformly over the id space."""
+    rng = np.random.default_rng(seed)
+    num_comms = num_comms or max(8, num_nodes // 8192)
+    comm_of = rng.permutation(np.arange(num_nodes) % num_comms)
+    members = [np.flatnonzero(comm_of == c) for c in range(num_comms)]
+    deg_in = int(avg_degree * 0.9)
+    src_parts, dst_parts = [], []
+    for m in members:
+        src_parts.append(m[rng.integers(0, len(m), len(m) * deg_in)])
+        dst_parts.append(m[rng.integers(0, len(m), len(m) * deg_in)])
+    n_out = num_nodes * avg_degree - sum(len(s) for s in src_parts)
+    src_parts.append(rng.integers(0, num_nodes, n_out))
+    dst_parts.append(rng.integers(0, num_nodes, n_out))
+    src = np.concatenate(src_parts)
+    dst = np.concatenate(dst_parts)
+    w = rng.uniform(0.1, 1.0, len(src)).astype(np.float32)
+    return src, dst, w
+
+
 def main():
-    num_nodes = int(sys.argv[1]) if len(sys.argv) > 1 else 1 << 20
-    avg_degree = int(sys.argv[2]) if len(sys.argv) > 2 else 16
-    feat = int(sys.argv[3]) if len(sys.argv) > 3 else 128
-    orderings = (sys.argv[4].split(",") if len(sys.argv) > 4
-                 else ["none", "rcm", "community"])
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("num_nodes", type=int, nargs="?", default=1 << 20)
+    ap.add_argument("avg_degree", type=int, nargs="?", default=16)
+    ap.add_argument("feat", type=int, nargs="?", default=128)
+    ap.add_argument("orderings", nargs="?", default="none,rcm,community")
+    ap.add_argument("--family", choices=("spatial", "planted"), default="spatial")
+    args = ap.parse_args()
+    num_nodes, avg_degree, feat = args.num_nodes, args.avg_degree, args.feat
+    orderings = args.orderings.split(",")
+    family = args.family
 
     from tools.timing import slope_time
 
-    src, dst, w = _edges(num_nodes, avg_degree)
+    make = {"spatial": _edges, "planted": _planted_edges}[family]
+    src, dst, w = make(num_nodes, avg_degree)
     rng = np.random.default_rng(1)
     x_host = rng.normal(size=(0, feat))  # placeholder, sized per graph below
 
@@ -85,12 +131,17 @@ def main():
         col_of = jnp.asarray(graph.col_of)
         x = jnp.asarray(x_host)
 
+        # the Pallas kernel on TPU; the numerically-identical pure-jax BSR
+        # SpMM off-TPU (interpret-mode Pallas is orders of magnitude slower)
+        on_tpu = jax.devices()[0].platform == "tpu"
+        kernel = spmm if on_tpu else spmm_jax
+
         def make_fn(k, values=values, row_of=row_of, col_of=col_of, x=x):
             @functools.partial(jax.jit, static_argnums=2)
             def fn(vv, xx, kk):
                 def body(i, c):
                     xi = xx.at[0, 0].add((c * 1e-12).astype(xx.dtype))
-                    return c + jnp.sum(spmm(vv, row_of, col_of, xi)[0],
+                    return c + jnp.sum(kernel(vv, row_of, col_of, xi)[0],
                                        dtype=jnp.float32) * 1e-12
                 return jax.lax.fori_loop(0, kk, body, jnp.float32(0.0))
             return lambda: fn(values, x, k)
@@ -112,8 +163,8 @@ def main():
     base = results.get("none")
     best = min(results.values(), key=lambda r: r["spmm_ms"])
     print(json.dumps({
-        "metric": "spmm_edges_per_second_{}m_reordered".format(
-            round(num_nodes / 1e6, 1)),
+        "metric": "spmm_edges_per_second_{}m_{}_reordered".format(
+            round(num_nodes / 1e6, 1), family),
         "value": best["edges_per_s"],
         "unit": "edges/s",
         "extras": {

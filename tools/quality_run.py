@@ -61,6 +61,7 @@ MODEL_VARIANTS = {
     # closeness-only ablation: the 3TU period/trend heads are removed, so the
     # margin vs the full model measures what multi-temporal fusion buys
     "MultiATGCN-C": ("MultiATGCN", {"len_period": 0, "len_trend": 0}),
+    "RNN": ("RNN", {"use_3tu": False}),
     "GRU": ("GRU", {"use_3tu": False}),
     "LSTM": ("LSTM", {"use_3tu": False}),
     "FNN": ("FNN", {"use_3tu": False}),
