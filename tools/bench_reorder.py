@@ -114,9 +114,18 @@ def main():
     results = {}
     for ordering in orderings:
         t0 = time.time()
-        graph = bsr.bsr_from_coo(
-            src, dst, w, num_nodes,
-            reorder=None if ordering == "none" else ordering)
+        hub_values = hub_cols = None
+        if ordering == "hub":
+            # hybrid split: BSR remainder + dense skinny hub columns
+            # (ops/hybrid.py) — attacks the near-empty hub tiles directly
+            from multistgraph_tpu.ops.hybrid import split_hub_columns
+
+            hy = split_hub_columns(src, dst, w, num_nodes)
+            graph, hub_values, hub_cols = hy.bsr, hy.hub_values, hy.hub_cols
+        else:
+            graph = bsr.bsr_from_coo(
+                src, dst, w, num_nodes,
+                reorder=None if ordering == "none" else ordering)
         build_s = time.time() - t0
         print(
             "[{}] build {:.1f}s nnz_blocks={} ({:.3f}% dense) nnz_edges={}".format(
@@ -134,9 +143,23 @@ def main():
         # the Pallas kernel on TPU; the numerically-identical pure-jax BSR
         # SpMM off-TPU (interpret-mode Pallas is orders of magnitude slower)
         on_tpu = jax.devices()[0].platform == "tpu"
-        kernel = spmm if on_tpu else spmm_jax
+        base_kernel = spmm if on_tpu else spmm_jax
+        n_edges = graph.nnz_edges
+        if hub_values is not None:
+            from multistgraph_tpu.ops.hybrid import spmm_hybrid
 
-        def make_fn(k, values=values, row_of=row_of, col_of=col_of, x=x):
+            hv = jnp.asarray(hub_values)
+            hc = jnp.asarray(hub_cols)
+            n_edges += int((hub_values != 0).sum())
+
+            def kernel(vv, rr, cc, xx):
+                return spmm_hybrid(vv, rr, cc, hv, hc, xx,
+                                   kernel=lambda *a: base_kernel(*a))
+        else:
+            kernel = base_kernel
+
+        def make_fn(k, values=values, row_of=row_of, col_of=col_of, x=x,
+                    kernel=kernel):
             @functools.partial(jax.jit, static_argnums=2)
             def fn(vv, xx, kk):
                 def body(i, c):
@@ -148,14 +171,17 @@ def main():
 
         per_iter, totals = slope_time(make_fn, trips=(2, 4, 8))
         tile_bytes = graph.nnz_blocks * (graph.block ** 2 + graph.block * feat) * 4
+        if hub_values is not None:
+            tile_bytes += hub_values.size * 4
         flops = 2 * graph.nnz_blocks * graph.block ** 2 * feat
         results[ordering] = {
             "nnz_blocks": int(graph.nnz_blocks),
             "spmm_ms": round(per_iter * 1e3, 3),
-            "edges_per_s": round(graph.nnz_edges / per_iter),
+            "edges_per_s": round(n_edges / per_iter),
             "gflops_block_granular": round(flops / per_iter / 1e9, 1),
             "gbps_effective": round(tile_bytes / per_iter / 1e9, 1),
             "build_s": round(build_s, 1),
+            **({"num_hubs": int(len(hub_cols))} if hub_values is not None else {}),
         }
         print("[{}] {}".format(ordering, results[ordering]),
               file=sys.stderr, flush=True)
