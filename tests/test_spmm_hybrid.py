@@ -8,7 +8,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from multistgraph_tpu.ops.bsr import bsr_from_coo
-from multistgraph_tpu.ops.hybrid import split_hub_columns, spmm_hybrid
+from multistgraph_tpu.ops.hybrid import (split_hub_columns,
+                                         split_scattered_tail, spmm_hybrid,
+                                         spmm_tail_hybrid)
 from multistgraph_tpu.ops.spmm import spmm_jax
 
 N = 1000
@@ -104,3 +106,88 @@ def test_no_hubs_degenerates_to_plain_bsr(rng):
     want = spmm_jax(jnp.asarray(plain.values), jnp.asarray(plain.row_of),
                     jnp.asarray(plain.col_of), x)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
+
+
+def _scattered_graph(rng, num_edges=9000, noise_frac=0.3):
+    """A dense diagonal band plus uniform-random scatter: the band tiles
+    fill well, the scatter lands ~one edge per tile (the planted-partition
+    disease at scale, tools/bench_reorder.py --family planted)."""
+    n_band = int(num_edges * (1 - noise_frac))
+    src_band = rng.integers(0, N, n_band)
+    dst_band = np.clip(src_band + rng.integers(-20, 21, n_band), 0, N - 1)
+    src_noise = rng.integers(0, N, num_edges - n_band)
+    dst_noise = rng.integers(0, N, num_edges - n_band)
+    src = np.concatenate([src_band, src_noise])
+    dst = np.concatenate([dst_band, dst_noise])
+    w = rng.uniform(0.1, 1.0, num_edges).astype(np.float32)
+    return src, dst, w
+
+
+def test_tail_split_preserves_edges_and_shrinks_bsr(rng):
+    src, dst, w = _scattered_graph(rng)
+    tg = split_scattered_tail(src, dst, w, N, BLOCK, min_fill=100)
+    assert tg.num_tail_edges > 0
+    # every edge lands exactly once: BSR + tail rebuild == full dense
+    full = _dense(src, dst, w)
+    rebuilt = np.zeros_like(full)
+    rebuilt[: tg.bsr.num_nodes, : tg.bsr.num_nodes] = tg.bsr.to_dense()
+    np.add.at(rebuilt, (tg.tail_src, tg.tail_dst), tg.tail_w)
+    np.testing.assert_allclose(rebuilt, full, atol=1e-6)
+    # the scatter noise is what the tail absorbed: far fewer BSR tiles
+    plain = bsr_from_coo(src, dst, w, N, BLOCK)
+    assert tg.bsr.nnz_blocks < plain.nnz_blocks // 2
+    # tail is sorted by row for segment_sum(indices_are_sorted=True)
+    assert np.all(np.diff(tg.tail_src) >= 0)
+
+
+def test_spmm_tail_hybrid_matches_dense(rng):
+    src, dst, w = _scattered_graph(rng)
+    tg = split_scattered_tail(src, dst, w, N, BLOCK, min_fill=100)
+    full = _dense(src, dst, w)
+    x = rng.normal(size=(full.shape[0], 16)).astype(np.float32)
+    got = spmm_tail_hybrid(
+        jnp.asarray(tg.bsr.values), jnp.asarray(tg.bsr.row_of),
+        jnp.asarray(tg.bsr.col_of), jnp.asarray(tg.tail_w),
+        jnp.asarray(tg.tail_src), jnp.asarray(tg.tail_dst),
+        jnp.asarray(x), block=BLOCK, kernel=spmm_jax)
+    np.testing.assert_allclose(np.asarray(got), full @ x, atol=2e-4, rtol=2e-4)
+
+
+def test_spmm_tail_hybrid_gradients_match_dense(rng):
+    src, dst, w = _scattered_graph(rng, num_edges=4000)
+    tg = split_scattered_tail(src, dst, w, N, BLOCK, min_fill=100)
+    full = jnp.asarray(_dense(src, dst, w))
+    x = jnp.asarray(rng.normal(size=(full.shape[0], 8)).astype(np.float32))
+    t = jnp.asarray(rng.normal(size=(full.shape[0], 8)).astype(np.float32))
+
+    def loss_hybrid(xx, tw):
+        y = spmm_tail_hybrid(
+            jnp.asarray(tg.bsr.values), jnp.asarray(tg.bsr.row_of),
+            jnp.asarray(tg.bsr.col_of), tw, jnp.asarray(tg.tail_src),
+            jnp.asarray(tg.tail_dst), xx, block=BLOCK, kernel=spmm_jax)
+        return jnp.sum(y * t)
+
+    gx, gtw = jax.grad(loss_hybrid, argnums=(0, 1))(x, jnp.asarray(tg.tail_w))
+    gx_dense = jax.grad(lambda xx: jnp.sum((full @ xx) * t))(x)
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(gx_dense),
+                               atol=2e-4, rtol=2e-4)
+    # d/dw of sum((A@x)*t) for edge (s, d) = t[s] . x[d]
+    want_gtw = np.einsum(
+        "ef,ef->e", np.asarray(t)[tg.tail_src], np.asarray(x)[tg.tail_dst])
+    np.testing.assert_allclose(np.asarray(gtw), want_gtw, atol=2e-4, rtol=2e-4)
+
+
+def test_all_tail_degenerates_to_pure_coo(rng):
+    # min_fill above every tile's population: BSR empties out entirely and
+    # the segment-sum path must carry the whole product alone
+    src, dst, w = _scattered_graph(rng, num_edges=2000, noise_frac=1.0)
+    tg = split_scattered_tail(src, dst, w, N, BLOCK, min_fill=10 ** 6)
+    assert tg.bsr.nnz_blocks == 0 and tg.num_tail_edges == 2000
+    full = _dense(src, dst, w)
+    x = rng.normal(size=(full.shape[0], 8)).astype(np.float32)
+    got = spmm_tail_hybrid(
+        jnp.asarray(tg.bsr.values), jnp.asarray(tg.bsr.row_of),
+        jnp.asarray(tg.bsr.col_of), jnp.asarray(tg.tail_w),
+        jnp.asarray(tg.tail_src), jnp.asarray(tg.tail_dst),
+        jnp.asarray(x), block=BLOCK, kernel=spmm_jax)
+    np.testing.assert_allclose(np.asarray(got), full @ x, atol=2e-4, rtol=2e-4)

@@ -99,6 +99,19 @@ def main():
     ap.add_argument("feat", type=int, nargs="?", default=128)
     ap.add_argument("orderings", nargs="?", default="none,rcm,community")
     ap.add_argument("--family", choices=("spatial", "planted"), default="spatial")
+    ap.add_argument("--kernel", choices=("block", "stream"), default="block",
+                    help="BSR kernel: block = one grid step per nnz block "
+                         "(ops/spmm.py); stream = row-streaming double-"
+                         "buffered DMA kernel (ops/spmm_stream.py)")
+    ap.add_argument("--chunk", type=int, default=0,
+                    help="stream kernel: values-DMA chunk size (0 = per-tile)")
+    ap.add_argument("--num_comms", type=int, default=None,
+                    help="planted family: community count (default "
+                         "num_nodes // 8192); smaller communities fill "
+                         "tiles denser")
+    ap.add_argument("--min_fill", type=int, default=None,
+                    help="tail splits: tile edge count below which edges "
+                         "go to the COO tail (default block // 2 = 64)")
     args = ap.parse_args()
     num_nodes, avg_degree, feat = args.num_nodes, args.avg_degree, args.feat
     orderings = args.orderings.split(",")
@@ -106,33 +119,58 @@ def main():
 
     from tools.timing import slope_time
 
-    make = {"spatial": _edges, "planted": _planted_edges}[family]
-    src, dst, w = make(num_nodes, avg_degree)
+    if family == "planted":
+        src, dst, w = _planted_edges(num_nodes, avg_degree,
+                                     num_comms=args.num_comms)
+    else:
+        src, dst, w = _edges(num_nodes, avg_degree)
     rng = np.random.default_rng(1)
     x_host = rng.normal(size=(0, feat))  # placeholder, sized per graph below
 
     results = {}
     for ordering in orderings:
+        # an ordering token is '+'-separated: an optional node reorder
+        # (rcm | community) and an optional hybrid split (hub | tail),
+        # e.g. "community+tail". "none" = raw BSR tiling.
+        parts = ordering.split("+")
+        reorder_name = next((p for p in parts if p in bsr._ORDERINGS), None)
+        use_hub, use_tail = "hub" in parts, "tail" in parts
+        if use_hub and use_tail:
+            raise SystemExit("hub+tail composition not supported")
+
         t0 = time.time()
         hub_values = hub_cols = None
-        if ordering == "hub":
+        tail_w = tail_src = tail_dst = None
+        s2, d2 = src, dst
+        if reorder_name is not None:
+            perm = bsr._ORDERINGS[reorder_name](src, dst, num_nodes)
+            inv = np.empty(num_nodes, np.int64)
+            inv[perm] = np.arange(num_nodes)
+            # s2/d2 carry the permutation; don't reorder again at tiling
+            # (x is random here, so the perm needn't be recorded)
+            s2, d2 = inv[src], inv[dst]
+        if use_hub:
             # hybrid split: BSR remainder + dense skinny hub columns
             # (ops/hybrid.py) — attacks the near-empty hub tiles directly
             from multistgraph_tpu.ops.hybrid import split_hub_columns
 
-            hy = split_hub_columns(src, dst, w, num_nodes)
+            hy = split_hub_columns(s2, d2, w, num_nodes)
             graph, hub_values, hub_cols = hy.bsr, hy.hub_values, hy.hub_cols
+        elif use_tail:
+            # hybrid split: BSR of dense-enough tiles + COO segment-sum
+            # tail — absorbs scattered singleton-tile edges (memory-safe by
+            # construction: only kept tiles materialize)
+            from multistgraph_tpu.ops.hybrid import split_scattered_tail
+
+            tg = split_scattered_tail(s2, d2, w, num_nodes,
+                                      min_fill=args.min_fill)
+            graph = tg.bsr
+            tail_w, tail_src, tail_dst = tg.tail_w, tg.tail_src, tg.tail_dst
         else:
             # count tiles BEFORE materializing them: a pathological ordering
             # (e.g. RCM on a hub graph — the hubs shatter the BFS layering)
             # can explode the tile count past host memory; record the count
             # as the finding instead of dying on a 100+ GiB allocation.
-            s2, d2 = src, dst
-            if ordering != "none":
-                perm = bsr._ORDERINGS[ordering](src, dst, num_nodes)
-                inv = np.empty(num_nodes, np.int64)
-                inv[perm] = np.arange(num_nodes)
-                s2, d2 = inv[src], inv[dst]
             block = 128
             n_blocks = -(-num_nodes // block)
             planned = len(np.unique((s2 // block).astype(np.int64) * n_blocks
@@ -147,8 +185,6 @@ def main():
                 print("[{}] {}".format(ordering, results[ordering]),
                       file=sys.stderr, flush=True)
                 continue
-            # s2/d2 already carry the permutation — don't reorder twice
-            # (x is random here, so the perm needn't be recorded)
             graph = bsr.bsr_from_coo(s2, d2, w, num_nodes)
         build_s = time.time() - t0
         print(
@@ -167,7 +203,17 @@ def main():
         # the Pallas kernel on TPU; the numerically-identical pure-jax BSR
         # SpMM off-TPU (interpret-mode Pallas is orders of magnitude slower)
         on_tpu = jax.devices()[0].platform == "tpu"
-        base_kernel = spmm if on_tpu else spmm_jax
+        if args.kernel == "stream" and on_tpu:
+            from multistgraph_tpu.ops.spmm_stream import (row_ptr_from_rows,
+                                                          spmm_stream)
+
+            row_ptr = jnp.asarray(
+                row_ptr_from_rows(graph.row_of, graph.num_row_blocks))
+
+            def base_kernel(vv, rr, cc, xx, row_ptr=row_ptr):
+                return spmm_stream(vv, row_ptr, cc, xx, chunk=args.chunk)
+        else:
+            base_kernel = spmm if on_tpu else spmm_jax
         n_edges = graph.nnz_edges
         if hub_values is not None:
             from multistgraph_tpu.ops.hybrid import spmm_hybrid
@@ -179,6 +225,17 @@ def main():
             def kernel(vv, rr, cc, xx):
                 return spmm_hybrid(vv, rr, cc, hv, hc, xx,
                                    kernel=lambda *a: base_kernel(*a))
+        elif tail_w is not None:
+            from multistgraph_tpu.ops.hybrid import spmm_tail_hybrid
+
+            tw = jnp.asarray(tail_w)
+            ts = jnp.asarray(tail_src)
+            td = jnp.asarray(tail_dst)
+            n_edges += int(tail_w.shape[0])
+
+            def kernel(vv, rr, cc, xx):
+                return spmm_tail_hybrid(vv, rr, cc, tw, ts, td, xx,
+                                        kernel=lambda *a: base_kernel(*a))
         else:
             kernel = base_kernel
 
@@ -197,6 +254,9 @@ def main():
         tile_bytes = graph.nnz_blocks * (graph.block ** 2 + graph.block * feat) * 4
         if hub_values is not None:
             tile_bytes += hub_values.size * 4
+        if tail_w is not None:
+            # per tail edge: one x-row gather + one y-row accumulate
+            tile_bytes += tail_w.shape[0] * 2 * feat * 4
         flops = 2 * graph.nnz_blocks * graph.block ** 2 * feat
         results[ordering] = {
             "nnz_blocks": int(graph.nnz_blocks),
@@ -206,6 +266,7 @@ def main():
             "gbps_effective": round(tile_bytes / per_iter / 1e9, 1),
             "build_s": round(build_s, 1),
             **({"num_hubs": int(len(hub_cols))} if hub_values is not None else {}),
+            **({"num_tail_edges": int(tail_w.shape[0])} if tail_w is not None else {}),
         }
         print("[{}] {}".format(ordering, results[ordering]),
               file=sys.stderr, flush=True)
