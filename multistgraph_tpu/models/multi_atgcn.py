@@ -683,6 +683,31 @@ class MultiATGCN(nn.Module):
 
 def build_multi_atgcn(config, data_feature) -> MultiATGCN:
     """Construct the module from config + data_feature (ref :221-354)."""
+    # `load_dynamic` couples the dataset and the model implicitly — and with
+    # OPPOSITE defaults, in the reference too (dataset True at
+    # traffic_state_datatset.py:35, model False at MultiATGCN.py:312). If a
+    # user sets load_external=true and omits load_dynamic, the dataset fuses
+    # the .ext columns into X (ext_dim grows) while the model, sized for
+    # feature_final = output_dim + ext_dim (ref :322), never appends them to
+    # the encoder input — the reference crashes in a shape error deep inside
+    # the AGCN; fail here with an actionable message instead.
+    load_dynamic = config.get("load_dynamic", False)
+    ext_dim = data_feature.get("ext_dim", 1)
+    add_tid = config.get("add_time_in_day", False)
+    add_dow = config.get("add_day_in_week", False)
+    time_index_dim = 8 if (add_tid and add_dow) else (
+        1 if add_tid else (7 if add_dow else 0))
+    if not load_dynamic and ext_dim > time_index_dim:
+        raise ValueError(
+            "Inconsistent load_dynamic: the dataset fused {} external feature "
+            "column(s) into X (ext_dim={} > time_index_dim={}) but the model "
+            "was built with load_dynamic=False, so its input width would not "
+            "match. Set load_dynamic explicitly in the config: true to feed "
+            "the .ext columns to the encoder, false to keep them out of the "
+            "dataset as well (the dataset defaults load_dynamic to TRUE, the "
+            "model to FALSE — reference quirk, traffic_state_datatset.py:35 "
+            "vs MultiATGCN.py:312).".format(
+                ext_dim - time_index_dim, ext_dim, time_index_dim))
     num_nodes = data_feature.get("num_nodes", 1)
     static = data_feature.get("static", None)
     adj_mx = data_feature.get("adj_mx", None)

@@ -45,6 +45,20 @@ def _xavier(shape):
     return init
 
 
+def _as_support_dict(support):
+    """A static support is a plain BSR triple (values, row, col) or a
+    mapping that additionally carries hybrid-split parts (ops/hybrid.py):
+    hub_values/hub_cols (dense skinny hub columns) and/or
+    tail_w/tail_src/tail_dst (scattered COO tail). Mapping, not dict:
+    flax converts dict attributes to FrozenDict."""
+    import collections.abc
+
+    if isinstance(support, collections.abc.Mapping):
+        return support
+    values, row, col = support
+    return {"values": values, "row": row, "col": col}
+
+
 class SparseATGCN(nn.Module):
     """Input x: (B, T, N_pad, F) -> (B, Tout, N_pad, output_dim).
 
@@ -125,13 +139,13 @@ class SparseATGCN(nn.Module):
             }
         else:
             self._support_vars = [
-                tuple(
-                    self.variable(
+                {
+                    part: self.variable(
                         "graph", "support{}_{}".format(i, part),
                         lambda s=arr.shape, d=arr.dtype: jnp.zeros(s, d),
                     )
-                    for part, arr in zip(("values", "row", "col"), support)
-                )
+                    for part, arr in _as_support_dict(support).items()
+                }
                 for i, support in enumerate(self.supports)
             ]
         if self.adaptive_pattern is not None:
@@ -186,7 +200,7 @@ class SparseATGCN(nn.Module):
                 graph["bnd_" + key] = jax.device_put(jnp.asarray(arr), sharding)
             return {**variables, "graph": graph}
         for i, support in enumerate(self.supports):
-            for part, arr in zip(("values", "row", "col"), support):
+            for part, arr in _as_support_dict(support).items():
                 graph["support{}_{}".format(i, part)] = jnp.asarray(arr)
         if self.adaptive_pattern is not None:
             graph["adaptive_row"] = jnp.asarray(self.adaptive_pattern[0])
@@ -225,13 +239,25 @@ class SparseATGCN(nn.Module):
                 block=self.block, adaptive_values=adaptive, interpret=self.interpret,
             )
         outs = [x_flat]
-        for values_v, row_v, col_v in self._support_vars:
-            outs.append(spmm(
-                jax.lax.stop_gradient(values_v.value),
-                jax.lax.stop_gradient(row_v.value),
-                jax.lax.stop_gradient(col_v.value),
-                x_flat, block=self.block, interpret=self.interpret,
-            ))
+        for sv in self._support_vars:
+            part = lambda k: jax.lax.stop_gradient(sv[k].value)
+            if sv["values"].value.shape[0] > 0:
+                y = spmm(part("values"), part("row"), part("col"),
+                         x_flat, block=self.block, interpret=self.interpret)
+            else:  # hybrid split left nothing in BSR (pure hub/tail support)
+                y = jnp.zeros_like(x_flat)
+            if "hub_values" in sv:
+                # dense skinny hub columns: y += A[:, hubs] @ x[hubs]
+                y = y + (part("hub_values")
+                         @ jnp.take(x_flat, part("hub_cols"), axis=0)
+                         ).astype(y.dtype)
+            if "tail_w" in sv:
+                from multistgraph_tpu.ops.hybrid import spmm_tail
+
+                y = y + spmm_tail(
+                    part("tail_w"), part("tail_src"), part("tail_dst"),
+                    x_flat, x_flat.shape[0]).astype(y.dtype)
+            outs.append(y)
         if adaptive is not None:
             a_vals, a_row, a_col, background = adaptive
             y = spmm(a_vals, a_row, a_col, x_flat, block=self.block,
@@ -370,8 +396,32 @@ def build_sparse_atgcn_dist(
 
 
 def build_sparse_atgcn(graph, config, interpret: bool = False) -> SparseATGCN:
-    """Construct from a BSRGraph (ops/bsr.py) + config dict."""
-    supports = ((jnp.asarray(graph.values), jnp.asarray(graph.row_of), jnp.asarray(graph.col_of)),)
+    """Construct from a BSRGraph, HybridGraph (hub-split), or TailGraph
+    (scattered-tail split) + config dict.
+
+    With a split graph the static support aggregates through the hybrid
+    path (BSR + skinny hub matmul / COO segment-sum tail — 1.68x at the
+    1M-node scale point, docs/DESIGN.md §4). The adaptive view samples the
+    BSR REMAINDER's block pattern: the extracted hub/tail edges keep their
+    static weights but receive no learned adaptive weight (at hub fan-ins
+    the dense reference's softmax would spread mass over >10^5 incoming
+    edges anyway; documented deviation)."""
+    from multistgraph_tpu.ops.hybrid import HybridGraph, TailGraph
+
+    extra = {}
+    if isinstance(graph, HybridGraph):
+        extra = {"hub_values": jnp.asarray(graph.hub_values),
+                 "hub_cols": jnp.asarray(graph.hub_cols)}
+        graph = graph.bsr
+    elif isinstance(graph, TailGraph):
+        extra = {"tail_w": jnp.asarray(graph.tail_w),
+                 "tail_src": jnp.asarray(graph.tail_src),
+                 "tail_dst": jnp.asarray(graph.tail_dst)}
+        graph = graph.bsr
+    support = {"values": jnp.asarray(graph.values),
+               "row": jnp.asarray(graph.row_of),
+               "col": jnp.asarray(graph.col_of), **extra}
+    supports = (support,)
     adaptive = None
     if config.get("adpadj", "none") != "none":
         adaptive = (jnp.asarray(graph.row_of), jnp.asarray(graph.col_of))

@@ -247,6 +247,7 @@ def random_spatial_graph(
     hub_fraction: float = 0.05,
     seed: int = 0,
     block: int = 128,
+    split: str = None,
 ) -> Tuple["BSRGraph", int]:
     """Spatially-local graph + a few hub nodes (power-law-ish degree).
 
@@ -255,6 +256,10 @@ def random_spatial_graph(
     This keeps BSR tiles dense — the right benchmark shape; a scattered
     power-law pattern makes 128x128 tiles ~0.04% full and BSR pathological
     (use ordering/clustering preprocessing for such graphs).
+
+    split='hub' | 'tail' returns the hybrid-partitioned form instead
+    (ops/hybrid.py — HybridGraph / TailGraph; build_sparse_atgcn and
+    spmm_hybrid / spmm_tail_hybrid consume either).
     """
     rng = np.random.default_rng(seed)
     num_edges = num_nodes * avg_degree
@@ -269,6 +274,14 @@ def random_spatial_graph(
     src = np.concatenate([src_local, src_hub])
     dst = np.concatenate([dst_local, dst_hub])
     w = rng.uniform(0.1, 1.0, num_edges).astype(np.float32)
+    if split == "hub":
+        from multistgraph_tpu.ops.hybrid import split_hub_columns
+
+        return split_hub_columns(src, dst, w, num_nodes, block), num_edges
+    if split == "tail":
+        from multistgraph_tpu.ops.hybrid import split_scattered_tail
+
+        return split_scattered_tail(src, dst, w, num_nodes, block), num_edges
     graph = bsr_from_coo(src, dst, w, num_nodes, block)
     return graph, num_edges
 

@@ -303,3 +303,18 @@ def test_per_layer_activation_parity():
         np.asarray(inter["encoder_layer_1"][0]), captured["encoder_output"], atol=2e-4, rtol=1e-3
     )
     assert "encoder_layer_0" in inter and "supports" in inter and "fused_temporal" in inter
+
+
+def test_inconsistent_load_dynamic_raises_actionable_error():
+    """load_external=true with load_dynamic omitted: the dataset fuses .ext
+    columns (its default is True) while the model defaults to False — the
+    reference crashes in a shape error deep inside the AGCN
+    (traffic_state_datatset.py:35 vs MultiATGCN.py:312); we fail at build
+    time with an actionable message instead."""
+    feature = _data_feature()
+    feature["ext_dim"] = 6  # 1 time_in_day + 5 fused .ext columns
+    with pytest.raises(ValueError, match="load_dynamic"):
+        build_multi_atgcn(_config(), feature)
+    # explicit load_dynamic=True accepts the fused columns
+    model = build_multi_atgcn(_config(load_dynamic=True), feature)
+    assert model.ext_dim == 6 and model.feature_final == 7

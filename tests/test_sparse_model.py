@@ -118,3 +118,79 @@ def test_remat_matches_plain(rng):
     o1 = np.asarray(m1.apply(params, x, train=False))
     o2 = np.asarray(m2.apply(params, x, train=False))
     np.testing.assert_allclose(o1, o2, atol=1e-5)
+
+
+def _hub_edges(rng, num_edges=4000, num_hubs=3):
+    n_local = int(num_edges * 0.75)
+    src_l = rng.integers(0, N_PAD, n_local)
+    dst_l = np.clip(src_l + rng.integers(-30, 31, n_local), 0, N_PAD - 1)
+    hubs = rng.choice(N_PAD, num_hubs, replace=False)
+    src_h = rng.integers(0, N_PAD, num_edges - n_local)
+    dst_h = hubs[rng.integers(0, num_hubs, num_edges - n_local)]
+    src = np.concatenate([src_l, src_h])
+    dst = np.concatenate([dst_l, dst_h])
+    w = rng.uniform(0.1, 1.0, num_edges).astype(np.float32)
+    return src, dst, w
+
+
+def test_hub_split_support_matches_plain_bsr(rng):
+    """A hub-split HybridGraph support must be numerically the same operator
+    as the unsplit BSR of the same edges (BSR remainder + skinny hub matmul
+    sum to the identical matrix)."""
+    from multistgraph_tpu.ops.hybrid import split_hub_columns
+
+    src, dst, w = _hub_edges(rng)
+    plain = bsr.bsr_from_coo(src, dst, w, N_PAD, BLOCK)
+    hy = split_hub_columns(src, dst, w, N_PAD, BLOCK, min_row_blocks=1)
+    assert hy.num_hubs > 0 and hy.bsr.nnz_blocks < plain.nnz_blocks
+    cfg = _config()
+    x = jnp.asarray(rng.normal(size=(2, 3, N_PAD, 1)).astype(np.float32))
+    m_plain = build_sparse_atgcn(plain, cfg, interpret=True)
+    p_plain = init_with_graph(m_plain, jax.random.PRNGKey(0), x)
+    m_hy = build_sparse_atgcn(hy, cfg, interpret=True)
+    p_hy = init_with_graph(m_hy, jax.random.PRNGKey(0), x)
+    o_plain = np.asarray(m_plain.apply(p_plain, x, train=False))
+    o_hy = np.asarray(m_hy.apply(
+        {"params": p_plain["params"], "graph": p_hy["graph"]}, x, train=False))
+    np.testing.assert_allclose(o_hy, o_plain, atol=2e-4, rtol=2e-4)
+
+
+def test_tail_split_support_matches_plain_bsr(rng):
+    from multistgraph_tpu.ops.hybrid import split_scattered_tail
+
+    src, dst, w = _hub_edges(rng)
+    plain = bsr.bsr_from_coo(src, dst, w, N_PAD, BLOCK)
+    tg = split_scattered_tail(src, dst, w, N_PAD, BLOCK, min_fill=400)
+    assert tg.num_tail_edges > 0
+    cfg = _config()
+    x = jnp.asarray(rng.normal(size=(2, 3, N_PAD, 1)).astype(np.float32))
+    m_plain = build_sparse_atgcn(plain, cfg, interpret=True)
+    p_plain = init_with_graph(m_plain, jax.random.PRNGKey(0), x)
+    m_tg = build_sparse_atgcn(tg, cfg, interpret=True)
+    p_tg = init_with_graph(m_tg, jax.random.PRNGKey(0), x)
+    o_plain = np.asarray(m_plain.apply(p_plain, x, train=False))
+    o_tg = np.asarray(m_tg.apply(
+        {"params": p_plain["params"], "graph": p_tg["graph"]}, x, train=False))
+    np.testing.assert_allclose(o_tg, o_plain, atol=2e-4, rtol=2e-4)
+
+
+def test_hybrid_support_trains(rng):
+    """Gradients flow through the hybrid aggregation (graph arrays are
+    constants; trainable params still receive cotangents through the hub
+    matmul and segment-sum tail)."""
+    from multistgraph_tpu.ops.hybrid import split_hub_columns
+
+    src, dst, w = _hub_edges(rng, num_edges=2000)
+    hy = split_hub_columns(src, dst, w, N_PAD, BLOCK, min_row_blocks=1)
+    cfg = _config(adpadj="unidirection")
+    x = jnp.asarray(rng.normal(size=(1, 3, N_PAD, 1)).astype(np.float32))
+    model = build_sparse_atgcn(hy, cfg, interpret=True)
+    params = init_with_graph(model, jax.random.PRNGKey(0), x)
+
+    def loss(trainable):
+        return jnp.mean(jnp.square(model.apply(
+            {"params": trainable, "graph": params["graph"]}, x, train=False)))
+
+    val, grads = jax.value_and_grad(loss)(params["params"])
+    assert np.isfinite(float(val))
+    assert np.abs(np.asarray(grads["l0_gate_pool"])).sum() > 0

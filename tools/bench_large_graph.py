@@ -5,7 +5,9 @@ BASELINE.json config 4: spatial power-law graph, single chip, full training step
 model-level edge throughput: edges aggregated per second =
 nnz_edges x aggregations_per_step / step_seconds.
 
-Usage: python tools/bench_large_graph.py [num_nodes] [avg_degree] [T] [B]
+Usage: python tools/bench_large_graph.py [num_nodes] [avg_degree] [T] [B] [split]
+    split: none (default) | hub | tail — hybrid-partition the graph
+    (ops/hybrid.py) before building the model.
 """
 
 import json
@@ -29,9 +31,17 @@ def main():
     avg_degree = int(sys.argv[2]) if len(sys.argv) > 2 else 16
     t_steps = int(sys.argv[3]) if len(sys.argv) > 3 else 8
     batch = int(sys.argv[4]) if len(sys.argv) > 4 else 2
+    split = sys.argv[5] if len(sys.argv) > 5 else "none"
 
-    print("building graph N={} deg={} ...".format(num_nodes, avg_degree), file=sys.stderr)
-    graph, _ = bsr.random_spatial_graph(num_nodes, avg_degree, seed=0)
+    print("building graph N={} deg={} split={} ...".format(
+        num_nodes, avg_degree, split), file=sys.stderr)
+    graph, _ = bsr.random_spatial_graph(
+        num_nodes, avg_degree, seed=0,
+        split=None if split == "none" else split)
+    # stats/partitioning read the BSR component; the model builder takes the
+    # full (possibly hybrid) graph
+    core = graph.bsr if split != "none" else graph
+    nnz_edges = graph.nnz_edges
     cfg = {
         "output_window": 3, "output_dim": 1, "rnn_units": 64, "num_layers": 2,
         "embed_dim_adj": 128, "adpadj": "unidirection", "node_conditioned": "off",
@@ -39,8 +49,8 @@ def main():
     }
     model = build_sparse_atgcn(graph, cfg)
     rng = np.random.default_rng(0)
-    x = jnp.asarray(rng.normal(size=(batch, t_steps, graph.padded_nodes, 1)).astype(np.float32))
-    y = jnp.asarray(rng.normal(size=(batch, 3, graph.padded_nodes, 1)).astype(np.float32))
+    x = jnp.asarray(rng.normal(size=(batch, t_steps, core.padded_nodes, 1)).astype(np.float32))
+    y = jnp.asarray(rng.normal(size=(batch, 3, core.padded_nodes, 1)).astype(np.float32))
     t0 = time.time()
     params = init_with_graph(model, jax.random.PRNGKey(0), x)
     jax.tree_util.tree_map(lambda a: a.block_until_ready(), params)
@@ -81,7 +91,7 @@ def main():
     # support once. Backward roughly doubles it.
     num_sup = len(model.supports) + (1 if model.adaptive_pattern is not None else 0)
     aggs = cfg["num_layers"] * t_steps * 2 * num_sup * 2  # x2 for backward
-    edges_per_step = graph.nnz_edges * aggs * batch
+    edges_per_step = nnz_edges * aggs * batch
     edges_s = edges_per_step / step_s
     print(
         "step {:.3f}s | {:.3g} model edges/s | loss {:.4f}".format(step_s, edges_s, loss_val),
@@ -95,23 +105,25 @@ def main():
 
     boundary = {}
     for shards in (4, 8):
-        if graph.num_row_blocks % shards == 0:
-            plan = partition_bsr_boundary(graph, shards)
+        if core.num_row_blocks % shards == 0:
+            plan = partition_bsr_boundary(core, shards)
             boundary["boundary_fraction_s{}".format(shards)] = round(
                 plan.boundary_fraction, 4
             )
     print("boundary fractions: {}".format(boundary), file=sys.stderr)
 
     print(json.dumps({
-        "metric": "sparse_train_edges_per_second_50k",
+        "metric": "sparse_train_edges_per_second_50k" if split == "none"
+                  else "sparse_train_edges_per_second_50k_" + split,
         "value": round(edges_s),
         "unit": "edges/s",
         "extras": {
             "step_seconds": round(step_s, 3),
             "compile_seconds": round(compile_s, 1),
             "num_nodes": num_nodes,
-            "nnz_edges": graph.nnz_edges,
-            "nnz_blocks": graph.nnz_blocks,
+            "split": split,
+            "nnz_edges": nnz_edges,
+            "nnz_blocks": core.nnz_blocks,
             "device": jax.devices()[0].platform,
             **boundary,
         },
