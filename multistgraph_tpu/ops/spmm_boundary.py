@@ -115,9 +115,15 @@ def partition_bsr_boundary(graph: BSRGraph, num_shards: int) -> BoundaryShardedB
         """edge entries: (values, local_row, col, global_col?) where col is
         translated through col_lookup when given; padding/coverage entries
         get mask 0."""
-        max_n = max(max((len(e) for e in edge_lists), default=0), 1)
         if coverage_rows:
-            max_n = max(max_n, per)  # room for one zero block per row
+            # each shard holds its edges PLUS one zero block per uncovered
+            # row — size the buffer for the sum, not the max of the two
+            # (a shard with many edges over partial row coverage needs both)
+            totals = [len(edges) + per - len({e[1] for e in edges})
+                      for edges in edge_lists]
+            max_n = max(max(totals, default=0), 1)
+        else:
+            max_n = max(max((len(e) for e in edge_lists), default=0), 1)
         vals = np.zeros((S, max_n, b, b), np.float32)
         rows = np.full((S, max_n), per - 1, np.int32)
         cols = np.zeros((S, max_n), np.int32)

@@ -68,3 +68,20 @@ def test_boundary_cheaper_than_allgather_on_local_graphs(rng):
     g, _ = bsr.random_spatial_graph(8 * BLOCK, avg_degree=8, locality=100, num_hubs=1, seed=0)
     sh = partition_bsr_boundary(g, 4)
     assert sh.boundary_fraction < 0.3
+
+
+def test_partition_buffer_sizing_with_partial_coverage():
+    """Regression: pack() sized its buffers as max(num_edges, rows_per_shard),
+    but a shard holds its edges PLUS one zero coverage block per uncovered
+    row — a dense-ish shard with partial row coverage overflowed the buffer
+    (IndexError at 49k nodes / 4 shards). The plan must build and preserve
+    every edge."""
+    g, _ = bsr.random_spatial_graph(
+        49152, 16, locality=256, num_hubs=8, seed=0)
+    plan = partition_bsr_boundary(g, 4)
+    # all edges preserved: masked local+remote block values reproduce the sum
+    total = float(np.abs(g.values).sum())
+    kept = float(
+        (np.abs(plan.local_values) * plan.local_mask[..., None, None]).sum()
+        + (np.abs(plan.remote_values) * plan.remote_mask[..., None, None]).sum())
+    np.testing.assert_allclose(kept, total, rtol=1e-6)
