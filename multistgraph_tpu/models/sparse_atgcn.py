@@ -370,9 +370,12 @@ def build_sparse_atgcn_dist(
     Parameter tree is identical to build_sparse_atgcn's for the same config,
     so checkpoints move freely between the single- and multi-chip backends.
     """
+    from multistgraph_tpu.ops.hybrid import HybridGraph
     from multistgraph_tpu.ops.spmm_boundary import partition_bsr_boundary
 
     plan = partition_bsr_boundary(graph, mesh.shape[axis])
+    if isinstance(graph, HybridGraph):  # hub-split: remainder is the BSR core
+        graph = graph.bsr
     adaptive = config.get("adpadj", "none") != "none"
     return SparseATGCN(
         num_nodes=graph.padded_nodes,

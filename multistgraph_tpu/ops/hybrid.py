@@ -52,6 +52,14 @@ class HybridGraph:
     def nnz_edges(self) -> int:
         return self.bsr.nnz_edges + int((self.hub_values != 0).sum())
 
+    @property
+    def padded_nodes(self) -> int:
+        return self.bsr.padded_nodes
+
+    @property
+    def block(self) -> int:
+        return self.bsr.block
+
 
 def split_hub_columns(
     src: np.ndarray,
@@ -134,6 +142,14 @@ class TailGraph:
     @property
     def nnz_edges(self) -> int:
         return self.bsr.nnz_edges + self.num_tail_edges
+
+    @property
+    def padded_nodes(self) -> int:
+        return self.bsr.padded_nodes
+
+    @property
+    def block(self) -> int:
+        return self.bsr.block
 
 
 def split_scattered_tail(

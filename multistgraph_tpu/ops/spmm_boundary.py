@@ -60,12 +60,19 @@ class BoundaryShardedBSR:
     block: int
     num_shards: int
     boundary_fraction: float   # exchanged blocks / all column blocks
+    # hub-split extension (ops/hybrid.py): dense skinny hub columns of the
+    # static support. Hub columns are exactly the edges every shard needs,
+    # so extracting them shrinks the boundary exchange ~3x (DESIGN §5); the
+    # hub features are rebuilt with ONE (H, F) psum of masked local gathers.
+    hub_values: Optional[np.ndarray] = None   # (S, per*b, H) row-sharded
+    hub_lidx: Optional[np.ndarray] = None     # (S, H) owner-local row ids
+    hub_lmask: Optional[np.ndarray] = None    # (S, H) 1 where shard owns hub
 
     def graph_arrays(self) -> Dict[str, np.ndarray]:
         """The stacked arrays a model stores in its 'graph' variable
         collection (shipped to device as ARGUMENTS, leading axis sharded
         over the node mesh axis — never baked in as compile-time constants)."""
-        return {
+        arrs = {
             "local_values": self.local_values, "local_row": self.local_row,
             "local_col": self.local_col, "local_gcol": self.local_gcol,
             "local_mask": self.local_mask,
@@ -73,9 +80,22 @@ class BoundaryShardedBSR:
             "remote_col": self.remote_col, "remote_gcol": self.remote_gcol,
             "remote_mask": self.remote_mask, "send_idx": self.send_idx,
         }
+        if self.hub_values is not None:
+            arrs.update(hub_values=self.hub_values, hub_lidx=self.hub_lidx,
+                        hub_lmask=self.hub_lmask)
+        return arrs
 
 
-def partition_bsr_boundary(graph: BSRGraph, num_shards: int) -> BoundaryShardedBSR:
+def partition_bsr_boundary(graph, num_shards: int) -> BoundaryShardedBSR:
+    """graph: BSRGraph, or HybridGraph (ops/hybrid.py) to edge-partition the
+    hub-split remainder and row-shard the dense hub columns."""
+    from multistgraph_tpu.ops.hybrid import HybridGraph
+
+    hub_cols = hub_vals_full = None
+    if isinstance(graph, HybridGraph):
+        if graph.num_hubs > 0:
+            hub_cols, hub_vals_full = graph.hub_cols, graph.hub_values
+        graph = graph.bsr
     if graph.num_row_blocks % num_shards:
         raise ValueError(
             "num_row_blocks {} not divisible by {} shards".format(
@@ -160,6 +180,23 @@ def partition_bsr_boundary(graph: BSRGraph, num_shards: int) -> BoundaryShardedB
 
     total_cols = graph.num_row_blocks * S  # worst case: every shard needs all
     exchanged = sum(len(s) for row in send_sets for s in row)
+
+    hub_kwargs = {}
+    if hub_cols is not None:
+        per_nodes = per * b
+        owner = np.asarray(hub_cols, np.int64) // per_nodes
+        hub_lidx = np.zeros((S, len(hub_cols)), np.int32)
+        hub_lmask = np.zeros((S, len(hub_cols)), np.float32)
+        for s in range(S):
+            own = owner == s
+            hub_lidx[s, own] = (hub_cols[own] - s * per_nodes).astype(np.int32)
+            hub_lmask[s, own] = 1.0
+        hub_kwargs = dict(
+            hub_values=np.ascontiguousarray(
+                hub_vals_full.reshape(S, per_nodes, -1)),
+            hub_lidx=hub_lidx, hub_lmask=hub_lmask,
+        )
+
     return BoundaryShardedBSR(
         local_values=local_vals, local_row=local_rows, local_col=local_cols,
         local_gcol=local_gcols, local_mask=local_masks,
@@ -168,6 +205,7 @@ def partition_bsr_boundary(graph: BSRGraph, num_shards: int) -> BoundaryShardedB
         send_idx=send_idx, row_blocks_per_shard=per, max_send=max_send,
         block=b, num_shards=S,
         boundary_fraction=exchanged / max(total_cols, 1),
+        **hub_kwargs,
     )
 
 
@@ -288,8 +326,19 @@ def boundary_aggregate(
                             block=block, interpret=interpret, out_blocks=per)
             return y_local + y_remote
 
-        outs = [x_shard, dual_spmm(jax.lax.stop_gradient(a["local_values"]),
-                                   jax.lax.stop_gradient(a["remote_values"]))]
+        y_static = dual_spmm(jax.lax.stop_gradient(a["local_values"]),
+                             jax.lax.stop_gradient(a["remote_values"]))
+        if "hub_values" in a:
+            # hub-split static support: rebuild the (H, F) hub feature rows
+            # with one psum of masked owner-local gathers, then add the
+            # dense skinny hub matmul (differentiable w.r.t. x through the
+            # gather + psum transpose)
+            hub_x = jax.lax.psum(
+                jnp.take(x_shard, jax.lax.stop_gradient(a["hub_lidx"]), axis=0)
+                * jax.lax.stop_gradient(a["hub_lmask"])[:, None],
+                axis)
+            y_static = y_static + jax.lax.stop_gradient(a["hub_values"]) @ hub_x
+        outs = [x_shard, y_static]
         if opt:
             y = dual_spmm(opt[0][0], opt[1][0])
             if len(opt) == 3:

@@ -122,3 +122,57 @@ def test_dist_graph_arrays_are_node_sharded(rng):
     for key, arr in pd["graph"].items():
         spec = arr.sharding.spec
         assert spec and spec[0] == "node", "{} not sharded over node axis".format(key)
+
+
+def _hub_split_graph(rng, num_edges=6000, num_hubs=3):
+    from multistgraph_tpu.ops.hybrid import split_hub_columns
+
+    n_local = int(num_edges * 0.75)
+    src_l = rng.integers(0, N_PAD, n_local)
+    dst_l = np.clip(src_l + rng.integers(-30, 31, n_local), 0, N_PAD - 1)
+    hubs = rng.choice(N_PAD, num_hubs, replace=False)
+    src_h = rng.integers(0, N_PAD, num_edges - n_local)
+    dst_h = hubs[rng.integers(0, num_hubs, num_edges - n_local)]
+    src = np.concatenate([src_l, src_h])
+    dst = np.concatenate([dst_l, dst_h])
+    w = rng.uniform(0.1, 1.0, num_edges).astype(np.float32)
+    return split_hub_columns(src, dst, w, N_PAD, BLOCK, min_row_blocks=1)
+
+
+@pytest.mark.parametrize("n_dev", [2, 4])
+def test_hub_split_dist_matches_single_chip(rng, n_dev):
+    """Hub-split HybridGraph through the DISTRIBUTED backend: the remainder
+    edge-partitions (3x smaller boundary exchange, DESIGN §5) and the hub
+    features rebuild via one (H, F) psum; a full train step must equal the
+    single-chip hub-split model."""
+    hy = _hub_split_graph(rng)
+    assert hy.num_hubs > 0
+    cfg = _config(adpadj="unidirection")
+    mesh = make_mesh(n_dev, axes=("node",))
+    single = build_sparse_atgcn(hy, cfg, interpret=True)
+    dist = build_sparse_atgcn_dist(hy, cfg, mesh, interpret=True)
+    assert dist.dist_plan.hub_values is not None
+    x = jnp.asarray(rng.normal(size=(2, 3, N_PAD, 1)).astype(np.float32))
+    ps = init_with_graph(single, jax.random.PRNGKey(0), x)
+    pd = init_with_graph(dist, jax.random.PRNGKey(0), x)
+    assert set(ps["params"]) == set(pd["params"])
+    pd = {"params": ps["params"], "graph": pd["graph"]}
+    x_sh = jax.device_put(x, NamedSharding(mesh, P(None, None, "node", None)))
+    y = jnp.asarray(np.abs(rng.normal(size=(2, 2, N_PAD, 1))).astype(np.float32))
+    y_sh = jax.device_put(y, NamedSharding(mesh, P(None, None, "node", None)))
+
+    def loss_grads(model, params, xx, yy):
+        def loss_fn(trainable):
+            pred = model.apply({"params": trainable, "graph": params["graph"]},
+                               xx, train=False)
+            return jnp.abs(pred - yy).mean()
+
+        return jax.jit(jax.value_and_grad(loss_fn))(params["params"])
+
+    loss_s, grads_s = loss_grads(single, ps, x, y)
+    loss_d, grads_d = loss_grads(dist, pd, x_sh, y_sh)
+    np.testing.assert_allclose(float(loss_d), float(loss_s), atol=1e-5, rtol=1e-5)
+    for key in grads_s:
+        np.testing.assert_allclose(
+            np.asarray(grads_d[key]), np.asarray(grads_s[key]),
+            atol=5e-4, rtol=5e-3, err_msg="grad mismatch for {}".format(key))
