@@ -1,0 +1,137 @@
+"""Banded-dense SpMM: turn block-band sparsity into offset-diagonal matmuls.
+
+Reference counterpart: none — the reference is dense-only (N<=403); this is
+the TPU sparse scale path (BASELINE configs 4-5, docs/DESIGN.md §4).
+
+After hub extraction, the spatial-family graph's remainder is a block BAND:
+every nonzero 128x128 tile sits at a small block-offset |col - row| <= R
+(locality-bounded edges). A band needs NO gather: for each offset o the
+tiles form one diagonal, and
+
+    y[r] += V_o[r] @ x[r + o]            for every row block r at once
+
+is a single BATCHED (R_blocks, b, b) @ (R_blocks, b, F) matmul whose x
+operand is a plain SLICE of a zero-padded x — sequential addressing XLA
+fuses into the dot, instead of the Pallas kernel's per-tile gather DMAs
+(the measured 1M limiter, docs/DESIGN.md §9). All native XLA ops, so
+autodiff closes over it; bf16 tiles halve the dominant value stream.
+
+Storage: offsets whose diagonal would be mostly empty do not pay for the
+full (R_blocks, b, b) plane — `split_band` only densifies offsets whose
+tile population clears `min_fill_frac`, leaving the rest in COO for the
+hub/tail machinery.
+"""
+
+from dataclasses import dataclass
+
+import numpy as np
+
+__all__ = ["BandGraph", "split_band", "spmm_band"]
+
+
+@dataclass(frozen=True)
+class BandGraph:
+    """Dense offset-diagonals + the COO remainder that did not fit a band."""
+
+    band_values: np.ndarray   # (O, R_blocks, b, b) float32
+    offsets: np.ndarray       # (O,) int64 block offsets (col_block - row_block)
+    num_nodes: int
+    block: int
+    rest_src: np.ndarray      # (E_rest,) int64 — leftover edges (original ids)
+    rest_dst: np.ndarray
+    rest_w: np.ndarray
+
+    @property
+    def padded_nodes(self) -> int:
+        return -(-self.num_nodes // self.block) * self.block
+
+    @property
+    def num_row_blocks(self) -> int:
+        return self.padded_nodes // self.block
+
+    @property
+    def nnz_edges(self) -> int:
+        return int((self.band_values != 0).sum()) + int(self.rest_w.shape[0])
+
+
+def split_band(
+    src: np.ndarray,
+    dst: np.ndarray,
+    weights: np.ndarray,
+    num_nodes: int,
+    block: int = 128,
+    max_offsets: int = 8,
+    min_fill_frac: float = 0.25,
+) -> BandGraph:
+    """Partition COO edges into (dense offset-diagonals, COO remainder).
+
+    An offset diagonal is densified when it holds tiles in at least
+    `min_fill_frac` of the row blocks (a sparse diagonal would waste its
+    (R_blocks, b, b) plane), keeping at most the `max_offsets` most
+    populous offsets. Duplicate edges accumulate.
+    """
+    src = np.asarray(src, np.int64)
+    dst = np.asarray(dst, np.int64)
+    w = np.asarray(weights, np.float32)
+    n_blocks = -(-num_nodes // block)
+
+    rb, cb = src // block, dst // block
+    off = cb - rb
+    # tiles per offset: count DISTINCT row blocks present on each diagonal
+    uniq_pairs = np.unique(off * np.int64(n_blocks) + rb)
+    off_of_pair = uniq_pairs // n_blocks
+    # (floor division of negatives is fine: off*n_blocks + rb is monotone in
+    # (off, rb) because 0 <= rb < n_blocks)
+    cand, counts = np.unique(off_of_pair, return_counts=True)
+    keep = cand[counts >= max(1, int(min_fill_frac * n_blocks))]
+    if len(keep) > max_offsets:
+        order = np.argsort(-counts[np.isin(cand, keep)], kind="stable")
+        keep = keep[order[:max_offsets]]
+        keep = np.sort(keep)
+
+    in_band = np.isin(off, keep)
+    offsets = np.sort(keep)
+    pos = {int(o): i for i, o in enumerate(offsets)}
+    band_values = np.zeros((len(offsets), n_blocks, block, block), np.float32)
+    if in_band.any():
+        oi = np.array([pos[int(o)] for o in off[in_band]], np.int64)
+        np.add.at(
+            band_values,
+            (oi, rb[in_band], src[in_band] % block, dst[in_band] % block),
+            w[in_band],
+        )
+    rest = ~in_band
+    return BandGraph(
+        band_values=band_values, offsets=offsets.astype(np.int64),
+        num_nodes=num_nodes, block=block,
+        rest_src=src[rest], rest_dst=dst[rest], rest_w=w[rest],
+    )
+
+
+def spmm_band(band_values, offsets, x, block: int = 128):
+    """Y = A_band @ X: one batched matmul per offset diagonal over a sliced,
+    zero-padded X. offsets must be the host-side numpy array (static under
+    jit — it selects slice positions). Differentiable w.r.t. band_values
+    and x."""
+    import jax.numpy as jnp
+
+    n_pad, feat = x.shape
+    n_blocks = n_pad // block
+    offs = [int(o) for o in np.asarray(offsets)]
+    if not offs:
+        return jnp.zeros_like(x)
+    radius = max(abs(o) for o in offs)
+    xb = x.reshape(n_blocks, block, feat)
+    if radius:
+        pad = jnp.zeros((radius, block, feat), x.dtype)
+        xp = jnp.concatenate([pad, xb, pad], axis=0)
+    else:
+        xp = xb
+    y = None
+    for i, o in enumerate(offs):
+        xs = jnp.asarray(xp[radius + o : radius + o + n_blocks])
+        term = jnp.einsum(
+            "rij,rjf->rif", band_values[i].astype(x.dtype), xs,
+            preferred_element_type=jnp.float32)
+        y = term if y is None else y + term
+    return y.reshape(n_pad, feat).astype(x.dtype)

@@ -90,6 +90,83 @@ def _planted_edges(num_nodes, avg_degree, num_comms=None, seed=0):
     return src, dst, w
 
 
+def _bench_band(label, src, dst, w, num_nodes, feat, results):
+    """Time the structured decomposition: band diagonals (batched matmuls)
+    + hub columns (skinny dense) + COO tail for whatever remains."""
+    import functools
+
+    import jax.numpy as jnp
+
+    from multistgraph_tpu.ops.band import split_band, spmm_band
+    from multistgraph_tpu.ops.hybrid import split_hub_columns, spmm_tail
+    from tools.timing import slope_time
+
+    t0 = time.time()
+    bg = split_band(src, dst, w, num_nodes)
+    hy = split_hub_columns(bg.rest_src, bg.rest_dst, bg.rest_w, num_nodes)
+    # leftovers after band+hub stay exact through the COO tail
+    non_hub = ~np.isin(bg.rest_dst, hy.hub_cols)
+    n_tail = int(non_hub.sum())
+    build_s = time.time() - t0
+    n_blocks = bg.num_row_blocks
+    print(
+        "[{}] build {:.1f}s offsets={} hub_cols={} tail_edges={}".format(
+            label, build_s, bg.offsets.tolist(), hy.num_hubs, n_tail),
+        file=sys.stderr, flush=True)
+
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(bg.padded_nodes, feat)).astype(np.float32))
+    bvals = jnp.asarray(bg.band_values)
+    hv = jnp.asarray(hy.hub_values)
+    hc = jnp.asarray(hy.hub_cols)
+    rest_parts = None
+    if n_tail:
+        order = np.argsort(bg.rest_src[non_hub], kind="stable")  # segsum-sorted
+        rs = jnp.asarray(bg.rest_src[non_hub][order].astype(np.int32))
+        rd = jnp.asarray(bg.rest_dst[non_hub][order].astype(np.int32))
+        rw = jnp.asarray(bg.rest_w[non_hub][order])
+        rest_parts = (rw, rs, rd)
+
+    def kernel(bv, xx):
+        y = spmm_band(bv, bg.offsets, xx, block=bg.block)
+        if hy.num_hubs > 0:
+            y = y + hv @ jnp.take(xx, hc, axis=0)
+        if rest_parts is not None:
+            y = y + spmm_tail(rest_parts[0], rest_parts[1], rest_parts[2],
+                              xx, xx.shape[0])
+        return y
+
+    def make_fn(k, bvals=bvals, x=x):
+        @functools.partial(jax.jit, static_argnums=2)
+        def fn(bv, xx, kk):
+            def body(i, c):
+                xi = xx.at[0, 0].add((c * 1e-12).astype(xx.dtype))
+                return c + jnp.sum(kernel(bv, xi)[0], dtype=jnp.float32) * 1e-12
+            return jax.lax.fori_loop(0, kk, body, jnp.float32(0.0))
+        return lambda: fn(bvals, x, k)
+
+    per_iter, _ = slope_time(make_fn, trips=(2, 4, 8))
+    n_band = int((bg.band_values != 0).sum())
+    n_edges = n_band + int((hy.hub_values != 0).sum()) + n_tail
+    # streamed bytes: every band plane's tiles + one x pass per offset +
+    # hub values + tail gathers
+    tile_bytes = (bg.band_values.size
+                  + len(bg.offsets) * bg.padded_nodes * feat
+                  + hy.hub_values.size) * 4
+    tile_bytes += n_tail * 2 * feat * 4
+    results[label] = {
+        "nnz_blocks": int(len(bg.offsets) * n_blocks),
+        "spmm_ms": round(per_iter * 1e3, 3),
+        "edges_per_s": round(n_edges / per_iter),
+        "gbps_effective": round(tile_bytes / per_iter / 1e9, 1),
+        "build_s": round(build_s, 1),
+        "band_offsets": bg.offsets.tolist(),
+        "num_hubs": int(hy.num_hubs),
+        "num_tail_edges": n_tail,
+    }
+    print("[{}] {}".format(label, results[label]), file=sys.stderr, flush=True)
+
+
 def main():
     import argparse
 
@@ -137,6 +214,13 @@ def main():
         use_hub, use_tail = "hub" in parts, "tail" in parts
         if use_hub and use_tail:
             raise SystemExit("hub+tail composition not supported")
+
+        if "band" in parts:
+            # full structured decomposition: dense offset-diagonals for the
+            # local band (ops/band.py — batched matmuls, NO gather), skinny
+            # hub columns for the high-fan-in rest, COO tail for leftovers
+            _bench_band(ordering, src, dst, w, num_nodes, feat, results)
+            continue
 
         t0 = time.time()
         hub_values = hub_cols = None
