@@ -90,7 +90,8 @@ def _planted_edges(num_nodes, avg_degree, num_comms=None, seed=0):
     return src, dst, w
 
 
-def _bench_band(label, src, dst, w, num_nodes, feat, results):
+def _bench_band(label, src, dst, w, num_nodes, feat, results,
+                dtype="f32"):
     """Time the structured decomposition: band diagonals (batched matmuls)
     + hub columns (skinny dense) + COO tail for whatever remains."""
     import functools
@@ -115,8 +116,9 @@ def _bench_band(label, src, dst, w, num_nodes, feat, results):
         file=sys.stderr, flush=True)
 
     rng = np.random.default_rng(1)
-    x = jnp.asarray(rng.normal(size=(bg.padded_nodes, feat)).astype(np.float32))
-    bvals = jnp.asarray(bg.band_values)
+    cdt = jnp.bfloat16 if dtype == "bf16" else jnp.float32
+    x = jnp.asarray(rng.normal(size=(bg.padded_nodes, feat)).astype(np.float32)).astype(cdt)
+    bvals = jnp.asarray(bg.band_values).astype(cdt)
     hv = jnp.asarray(hy.hub_values)
     hc = jnp.asarray(hy.hub_cols)
     rest_parts = None
@@ -150,9 +152,10 @@ def _bench_band(label, src, dst, w, num_nodes, feat, results):
     n_edges = n_band + int((hy.hub_values != 0).sum()) + n_tail
     # streamed bytes: every band plane's tiles + one x pass per offset +
     # hub values + tail gathers
+    itemsize = 2 if dtype == "bf16" else 4
     tile_bytes = (bg.band_values.size
-                  + len(bg.offsets) * bg.padded_nodes * feat
-                  + hy.hub_values.size) * 4
+                  + len(bg.offsets) * bg.padded_nodes * feat) * itemsize \
+        + hy.hub_values.size * 4
     tile_bytes += n_tail * 2 * feat * 4
     results[label] = {
         "nnz_blocks": int(len(bg.offsets) * n_blocks),
@@ -163,6 +166,7 @@ def _bench_band(label, src, dst, w, num_nodes, feat, results):
         "band_offsets": bg.offsets.tolist(),
         "num_hubs": int(hy.num_hubs),
         "num_tail_edges": n_tail,
+        "dtype": dtype,
     }
     print("[{}] {}".format(label, results[label]), file=sys.stderr, flush=True)
 
@@ -189,6 +193,10 @@ def main():
     ap.add_argument("--min_fill", type=int, default=None,
                     help="tail splits: tile edge count below which edges "
                          "go to the COO tail (default block // 2 = 64)")
+    ap.add_argument("--dtype", choices=("f32", "bf16"), default="f32",
+                    help="band path: compute dtype for the diagonal matmuls "
+                         "(bf16 halves the dominant value+x streams; "
+                         "accumulation stays f32)")
     args = ap.parse_args()
     num_nodes, avg_degree, feat = args.num_nodes, args.avg_degree, args.feat
     orderings = args.orderings.split(",")
@@ -219,7 +227,8 @@ def main():
             # full structured decomposition: dense offset-diagonals for the
             # local band (ops/band.py — batched matmuls, NO gather), skinny
             # hub columns for the high-fan-in rest, COO tail for leftovers
-            _bench_band(ordering, src, dst, w, num_nodes, feat, results)
+            _bench_band(ordering, src, dst, w, num_nodes, feat, results,
+                        dtype=args.dtype)
             continue
 
         t0 = time.time()
