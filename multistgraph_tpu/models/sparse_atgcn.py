@@ -48,9 +48,13 @@ def _xavier(shape):
 def _as_support_dict(support):
     """A static support is a plain BSR triple (values, row, col) or a
     mapping that additionally carries hybrid-split parts (ops/hybrid.py):
-    hub_values/hub_cols (dense skinny hub columns) and/or
-    tail_w/tail_src/tail_dst (scattered COO tail). Mapping, not dict:
-    flax converts dict attributes to FrozenDict."""
+    hub_values/hub_cols (dense skinny hub columns), tail_w/tail_src/tail_dst
+    (scattered COO tail), and/or band_values + band_offsets_static
+    (ops/band.py offset diagonals). Keys ending in `_static` hold host-side
+    numpy metadata that must stay STATIC under jit (e.g. band offsets select
+    slice positions) — they are read from the module attribute directly, not
+    turned into graph-collection variables. Mapping, not dict: flax converts
+    dict attributes to FrozenDict."""
     import collections.abc
 
     if isinstance(support, collections.abc.Mapping):
@@ -145,8 +149,14 @@ class SparseATGCN(nn.Module):
                         lambda s=arr.shape, d=arr.dtype: jnp.zeros(s, d),
                     )
                     for part, arr in _as_support_dict(support).items()
+                    if not part.endswith("_static")
                 }
                 for i, support in enumerate(self.supports)
+            ]
+            self._support_static = [
+                {part: arr for part, arr in _as_support_dict(s).items()
+                 if part.endswith("_static")}
+                for s in self.supports
             ]
         if self.adaptive_pattern is not None:
             if not self.distributed:
@@ -201,7 +211,8 @@ class SparseATGCN(nn.Module):
             return {**variables, "graph": graph}
         for i, support in enumerate(self.supports):
             for part, arr in _as_support_dict(support).items():
-                graph["support{}_{}".format(i, part)] = jnp.asarray(arr)
+                if not part.endswith("_static"):
+                    graph["support{}_{}".format(i, part)] = jnp.asarray(arr)
         if self.adaptive_pattern is not None:
             graph["adaptive_row"] = jnp.asarray(self.adaptive_pattern[0])
             graph["adaptive_col"] = jnp.asarray(self.adaptive_pattern[1])
@@ -239,12 +250,20 @@ class SparseATGCN(nn.Module):
                 block=self.block, adaptive_values=adaptive, interpret=self.interpret,
             )
         outs = [x_flat]
-        for sv in self._support_vars:
+        for sv, static in zip(self._support_vars, self._support_static):
             part = lambda k: jax.lax.stop_gradient(sv[k].value)
-            if sv["values"].value.shape[0] > 0:
-                y = spmm(part("values"), part("row"), part("col"),
-                         x_flat, block=self.block, interpret=self.interpret)
-            else:  # hybrid split left nothing in BSR (pure hub/tail support)
+            y = None
+            if "band_values" in sv:
+                from multistgraph_tpu.ops.band import spmm_band
+
+                y = spmm_band(part("band_values"),
+                              static["band_offsets_static"], x_flat,
+                              block=self.block).astype(x_flat.dtype)
+            if "values" in sv and sv["values"].value.shape[0] > 0:
+                yb = spmm(part("values"), part("row"), part("col"),
+                          x_flat, block=self.block, interpret=self.interpret)
+                y = yb if y is None else y + yb
+            if y is None:  # split left nothing dense (pure hub/tail support)
                 y = jnp.zeros_like(x_flat)
             if "hub_values" in sv:
                 # dense skinny hub columns: y += A[:, hubs] @ x[hubs]
@@ -409,9 +428,60 @@ def build_sparse_atgcn(graph, config, interpret: bool = False) -> SparseATGCN:
     static weights but receive no learned adaptive weight (at hub fan-ins
     the dense reference's softmax would spread mass over >10^5 incoming
     edges anyway; documented deviation)."""
-    from multistgraph_tpu.ops.hybrid import HybridGraph, TailGraph
+    import numpy as _np
+
+    from multistgraph_tpu.ops.band import BandGraph
+    from multistgraph_tpu.ops.hybrid import HybridGraph, TailGraph, split_hub_columns
 
     extra = {}
+    adaptive = None
+    if isinstance(graph, BandGraph):
+        # full structured decomposition: band diagonals + hub columns of the
+        # rest + COO tail of the leftovers (docs/DESIGN.md §4 — the fastest
+        # 1M-node form). The adaptive view samples the band's block pattern.
+        support = {"band_values": jnp.asarray(graph.band_values),
+                   "band_offsets_static": _np.asarray(graph.offsets)}
+        hy = split_hub_columns(graph.rest_src, graph.rest_dst, graph.rest_w,
+                               graph.num_nodes, graph.block)
+        if hy.num_hubs > 0:
+            support["hub_values"] = jnp.asarray(hy.hub_values)
+            support["hub_cols"] = jnp.asarray(hy.hub_cols)
+        non_hub = ~_np.isin(graph.rest_dst, hy.hub_cols)
+        if non_hub.any():
+            order = _np.argsort(graph.rest_src[non_hub], kind="stable")
+            support["tail_w"] = jnp.asarray(graph.rest_w[non_hub][order])
+            support["tail_src"] = jnp.asarray(
+                graph.rest_src[non_hub][order].astype(_np.int32))
+            support["tail_dst"] = jnp.asarray(
+                graph.rest_dst[non_hub][order].astype(_np.int32))
+        if config.get("adpadj", "none") != "none":
+            nb = graph.num_row_blocks
+            rows, cols = [], []
+            for o in graph.offsets:
+                r = _np.arange(max(0, -int(o)), min(nb, nb - int(o)))
+                rows.append(r)
+                cols.append(r + int(o))
+            rows = _np.concatenate(rows) if rows else _np.zeros(0, _np.int64)
+            cols = _np.concatenate(cols) if cols else _np.zeros(0, _np.int64)
+            order = _np.lexsort((cols, rows))  # SpMM wants row-major order
+            adaptive = (jnp.asarray(rows[order].astype(_np.int32)),
+                        jnp.asarray(cols[order].astype(_np.int32)))
+        return SparseATGCN(
+            num_nodes=graph.padded_nodes,
+            output_window=config.get("output_window", 1),
+            output_dim=config.get("output_dim", 1),
+            hidden_dim=config.get("rnn_units", 64),
+            num_layers=config.get("num_layers", 2),
+            embed_dim_adj=config.get("embed_dim_adj", 16),
+            supports=(support,),
+            adaptive_pattern=adaptive,
+            node_conditioned=config.get("node_conditioned", "off"),
+            embed_dim_node=config.get("embed_dim_node", 8),
+            block=graph.block,
+            remat=config.get("remat", False),
+            interpret=interpret,
+            adaptive_softmax=config.get("adaptive_softmax", "sampled"),
+        )
     if isinstance(graph, HybridGraph):
         extra = {"hub_values": jnp.asarray(graph.hub_values),
                  "hub_cols": jnp.asarray(graph.hub_cols)}
@@ -425,7 +495,6 @@ def build_sparse_atgcn(graph, config, interpret: bool = False) -> SparseATGCN:
                "row": jnp.asarray(graph.row_of),
                "col": jnp.asarray(graph.col_of), **extra}
     supports = (support,)
-    adaptive = None
     if config.get("adpadj", "none") != "none":
         adaptive = (jnp.asarray(graph.row_of), jnp.asarray(graph.col_of))
     return SparseATGCN(

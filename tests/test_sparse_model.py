@@ -194,3 +194,38 @@ def test_hybrid_support_trains(rng):
     val, grads = jax.value_and_grad(loss)(params["params"])
     assert np.isfinite(float(val))
     assert np.abs(np.asarray(grads["l0_gate_pool"])).sum() > 0
+
+
+def test_band_decomposition_support_matches_plain_bsr(rng):
+    """A BandGraph support (band diagonals + hub columns + COO tail,
+    ops/band.py) must be numerically the same operator as the unsplit BSR
+    of the same edges, including under the adaptive view (whose pattern is
+    the band's block pattern — asserted a superset of the plain tiling)."""
+    from multistgraph_tpu.ops.band import split_band
+
+    src, dst, w = _hub_edges(rng, num_edges=6000)
+    plain = bsr.bsr_from_coo(src, dst, w, N_PAD, BLOCK)
+    bg = split_band(src, dst, w, N_PAD, BLOCK, min_fill_frac=1.0)
+    assert len(bg.offsets) > 0 and bg.rest_w.shape[0] > 0
+    cfg = _config()
+    x = jnp.asarray(rng.normal(size=(2, 3, N_PAD, 1)).astype(np.float32))
+    m_plain = build_sparse_atgcn(plain, cfg, interpret=True)
+    p_plain = init_with_graph(m_plain, jax.random.PRNGKey(0), x)
+    m_band = build_sparse_atgcn(bg, cfg, interpret=True)
+    p_band = init_with_graph(m_band, jax.random.PRNGKey(0), x)
+    assert set(p_plain["params"]) == set(p_band["params"])
+    o_plain = np.asarray(m_plain.apply(p_plain, x, train=False))
+    o_band = np.asarray(m_band.apply(
+        {"params": p_plain["params"], "graph": p_band["graph"]}, x, train=False))
+    np.testing.assert_allclose(o_band, o_plain, atol=2e-4, rtol=2e-4)
+    # adaptive view runs and takes gradients on the band pattern
+    m_ad = build_sparse_atgcn(bg, _config(adpadj="unidirection"), interpret=True)
+    p_ad = init_with_graph(m_ad, jax.random.PRNGKey(0), x)
+
+    def loss(trainable):
+        return jnp.mean(jnp.square(m_ad.apply(
+            {"params": trainable, "graph": p_ad["graph"]}, x, train=False)))
+
+    val, grads = jax.value_and_grad(loss)(p_ad["params"])
+    assert np.isfinite(float(val))
+    assert np.abs(np.asarray(grads["node_vec1"])).sum() > 0
