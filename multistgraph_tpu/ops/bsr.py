@@ -282,6 +282,10 @@ def random_spatial_graph(
         from multistgraph_tpu.ops.hybrid import split_scattered_tail
 
         return split_scattered_tail(src, dst, w, num_nodes, block), num_edges
+    if split == "band":
+        from multistgraph_tpu.ops.band import split_band
+
+        return split_band(src, dst, w, num_nodes, block), num_edges
     graph = bsr_from_coo(src, dst, w, num_nodes, block)
     return graph, num_edges
 

@@ -6,8 +6,8 @@ model-level edge throughput: edges aggregated per second =
 nnz_edges x aggregations_per_step / step_seconds.
 
 Usage: python tools/bench_large_graph.py [num_nodes] [avg_degree] [T] [B] [split]
-    split: none (default) | hub | tail — hybrid-partition the graph
-    (ops/hybrid.py) before building the model.
+    split: none (default) | hub | tail | band — hybrid-partition the
+    graph (ops/hybrid.py, ops/band.py) before building the model.
 """
 
 import json
@@ -40,7 +40,7 @@ def main():
         split=None if split == "none" else split)
     # stats/partitioning read the BSR component; the model builder takes the
     # full (possibly hybrid) graph
-    core = graph.bsr if split != "none" else graph
+    core = graph.bsr if split in ("hub", "tail") else graph
     nnz_edges = graph.nnz_edges
     cfg = {
         "output_window": 3, "output_dim": 1, "rnn_units": 64, "num_layers": 2,
@@ -105,7 +105,7 @@ def main():
 
     boundary = {}
     for shards in (4, 8):
-        if core.num_row_blocks % shards == 0:
+        if hasattr(core, "values") and core.num_row_blocks % shards == 0:
             plan = partition_bsr_boundary(core, shards)
             boundary["boundary_fraction_s{}".format(shards)] = round(
                 plan.boundary_fraction, 4
@@ -123,7 +123,7 @@ def main():
             "num_nodes": num_nodes,
             "split": split,
             "nnz_edges": nnz_edges,
-            "nnz_blocks": core.nnz_blocks,
+            "nnz_blocks": getattr(core, "nnz_blocks", None),
             "device": jax.devices()[0].platform,
             **boundary,
         },
