@@ -20,6 +20,17 @@ Storage: offsets whose diagonal would be mostly empty do not pay for the
 full (R_blocks, b, b) plane — `split_band` only densifies offsets whose
 tile population clears `min_fill_frac`, leaving the rest in COO for the
 hub/tail machinery.
+
+Known limitation (measured round 3, JAX 0.9.0): the TRAINING backward of
+this form inside SparseATGCN's recurrence compiles pathologically slowly
+on TPU (~2 min at 12k nodes, >20 min at 49k; forward/inference compiles in
+seconds, and the isolated scan+remat grad also compiles in seconds — the
+blowup needs the full model context; both the per-offset-sum and the
+single-stacked-einsum formulations trigger it, with and without remat).
+Until the XLA pathology is isolated, prefer the hub split
+(ops/hybrid.py) for TRAINING at scale — measured 1.71x the plain-BSR
+train step at 50k — and the band form for SpMM/serving, where it is the
+fastest representation (12.8 ms bf16 at 1M nodes, docs/DESIGN.md §4).
 """
 
 from dataclasses import dataclass
@@ -127,11 +138,12 @@ def spmm_band(band_values, offsets, x, block: int = 128):
         xp = jnp.concatenate([pad, xb, pad], axis=0)
     else:
         xp = xb
-    y = None
-    for i, o in enumerate(offs):
-        xs = jnp.asarray(xp[radius + o : radius + o + n_blocks])
-        term = jnp.einsum(
-            "rij,rjf->rif", band_values[i].astype(x.dtype), xs,
-            preferred_element_type=jnp.float32)
-        y = term if y is None else y + term
+    # ONE einsum over all diagonals (the offset-shifted x views stack into a
+    # leading O axis): same math as summing one batched dot per offset, but
+    # a single HLO dot — XLA compiles the per-offset sum formulation
+    # pathologically inside remat'd model scans (>20 min at 49k nodes;
+    # measured round 3), while this form compiles in seconds.
+    xs = jnp.stack([xp[radius + o : radius + o + n_blocks] for o in offs])
+    y = jnp.einsum("orij,orjf->rif", band_values.astype(x.dtype), xs,
+                   preferred_element_type=jnp.float32)
     return y.reshape(n_pad, feat).astype(x.dtype)

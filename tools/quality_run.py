@@ -282,7 +282,10 @@ def main():
     margin_bits, beaten = [], []
     for h in horizons:
         ch = comp[comp["horizon"] == h]
-        if ch.empty or not (ch["MAE_vs_ref_pct"].notna()).any():
+        # the _vs_ref_pct columns only exist when the MultiATGCN reference
+        # rows are among the collected runs (aggregate_results.add_improvement)
+        if ch.empty or "MAE_vs_ref_pct" not in ch.columns \
+                or not (ch["MAE_vs_ref_pct"].notna()).any():
             continue
         best = ch.loc[ch["MAE_vs_ref_pct"].idxmin()]
         margin_bits.append("{}h: {} at {:+.1f}%".format(
