@@ -28,10 +28,12 @@ import jax.numpy as jnp
 
 from multistgraph_tpu.models.initializers import dense_kernel_init, torch_style_init
 from multistgraph_tpu.ops.spmm import (
+    bsr_transpose,
     sddmm_relu,
     sparse_row_softmax,
     sparse_row_softmax_dense_corrected,
     spmm,
+    spmm_pret,
 )
 from multistgraph_tpu.ops.spmm_boundary import (
     boundary_adaptive_values,
@@ -104,6 +106,14 @@ class SparseATGCN(nn.Module):
     dist_plan: Any = None          # BoundaryShardedBSR, or None (single-chip)
     dist_mesh: Any = None          # jax.sharding.Mesh with dist_axis
     dist_axis: str = "node"
+    # mixed precision: cast activations, graph value streams, and weight
+    # pools to this dtype at use (params/optimizer stay f32; the adaptive
+    # softmax normalizes in f32). 'bfloat16' halves the dominant HBM
+    # streams — at 1M nodes it is what makes a TRAINING step fit in a
+    # v5e's 16 GB at all (docs/DESIGN.md §4). attach_graph also STORES the
+    # float graph arrays in this dtype so the footprint drops, not just
+    # the stream.
+    compute_dtype: Any = None
 
     @property
     def distributed(self) -> bool:
@@ -202,17 +212,24 @@ class SparseATGCN(nn.Module):
         arrays (device_put once, outside any compiled program; distributed
         arrays land pre-sharded over the node mesh axis)."""
         graph = dict(variables.get("graph", {}))
+
+        def cast(a):
+            a = jnp.asarray(a)
+            if self.compute_dtype is not None and jnp.issubdtype(a.dtype, jnp.floating):
+                return a.astype(self.compute_dtype)
+            return a
+
         if self.distributed:
             sharding = jax.sharding.NamedSharding(
                 self.dist_mesh, jax.sharding.PartitionSpec(self.dist_axis)
             )
             for key, arr in self.dist_plan.graph_arrays().items():
-                graph["bnd_" + key] = jax.device_put(jnp.asarray(arr), sharding)
+                graph["bnd_" + key] = jax.device_put(cast(arr), sharding)
             return {**variables, "graph": graph}
         for i, support in enumerate(self.supports):
             for part, arr in _as_support_dict(support).items():
                 if not part.endswith("_static"):
-                    graph["support{}_{}".format(i, part)] = jnp.asarray(arr)
+                    graph["support{}_{}".format(i, part)] = cast(arr)
         if self.adaptive_pattern is not None:
             graph["adaptive_row"] = jnp.asarray(self.adaptive_pattern[0])
             graph["adaptive_col"] = jnp.asarray(self.adaptive_pattern[1])
@@ -221,10 +238,14 @@ class SparseATGCN(nn.Module):
     def _bnd_arrays(self):
         return {key: var.value for key, var in self._bnd_vars.items()}
 
+    def _cast(self, a):
+        return a.astype(self.compute_dtype) if self.compute_dtype is not None else a
+
     def _adaptive_values(self):
+        e1, e2 = self._cast(self._e1), self._cast(self._e2)
         if self.distributed:
             return boundary_adaptive_values(
-                self._bnd_arrays(), self._e1, self._e2, self.dist_mesh,
+                self._bnd_arrays(), e1, e2, self.dist_mesh,
                 axis=self.dist_axis, block=self.block, interpret=self.interpret,
                 dense_corrected=self.adaptive_softmax == "dense_corrected",
                 num_nodes=self.num_nodes,
@@ -232,25 +253,63 @@ class SparseATGCN(nn.Module):
         row_of = jax.lax.stop_gradient(self._adaptive_vars[0].value)
         col_of = jax.lax.stop_gradient(self._adaptive_vars[1].value)
         scores = sddmm_relu(
-            self._e1, self._e2, row_of, col_of, block=self.block, interpret=self.interpret
+            e1, e2, row_of, col_of, block=self.block, interpret=self.interpret
         )
         n_row_blocks = self.num_nodes // self.block
+        # scores arrive in the compute dtype (the sampled-matmul kernel emits
+        # bf16 under mixed precision); both softmaxes normalize with f32 row
+        # sums internally, so no f32 (nnz, b, b) array ever materializes
         if self.adaptive_softmax == "dense_corrected":
             vals, background = sparse_row_softmax_dense_corrected(
                 scores, row_of, n_row_blocks, self.num_nodes
             )
-            return vals, row_of, col_of, background
-        return sparse_row_softmax(scores, row_of, n_row_blocks), row_of, col_of, None
+            return self._cast(vals), row_of, col_of, self._cast(background)
+        vals = sparse_row_softmax(scores, row_of, n_row_blocks)
+        return self._cast(vals), row_of, col_of, None
 
-    def _aggregate(self, x_flat, adaptive):
+    def _precompute_transposes(self, adaptive):
+        """Block transposes of every loop-invariant BSR operand, computed
+        ONCE per forward (outside the scans) and threaded into spmm_pret —
+        plain spmm's backward would otherwise re-derive them (argsort +
+        gather + ~GB tile copy at 1M nodes) inside EVERY scan step, the
+        measured HBM-OOM driver at the 1M scale point (docs/DESIGN.md §4).
+        Returns (per-support pre_t list, adaptive pre_t)."""
+        nb = self.num_nodes // self.block
+        sg = jax.lax.stop_gradient
+        support_prets = []
+        for sv in self._support_vars:
+            if "values" in sv and sv["values"].value.shape[0] > 0:
+                support_prets.append(tuple(sg(a) for a in bsr_transpose(
+                    sv["values"].value, sv["row"].value, sv["col"].value, nb)))
+            else:
+                support_prets.append(None)
+        adaptive_pret = None
+        if adaptive is not None:
+            a_vals, a_row, a_col, _ = adaptive
+            adaptive_pret = tuple(sg(a) for a in bsr_transpose(
+                a_vals, a_row, a_col, nb))
+        return support_prets, adaptive_pret
+
+    def _aggregate(self, x_flat, adaptive, support_prets=None, adaptive_pret=None):
         """x_flat (N_pad, F) -> (K, N_pad, F): identity + each support applied."""
         if self.distributed:
             return boundary_aggregate(
                 self._bnd_arrays(), x_flat, self.dist_mesh, axis=self.dist_axis,
                 block=self.block, adaptive_values=adaptive, interpret=self.interpret,
             )
+        if support_prets is None:
+            support_prets = [None] * len(self._support_vars)
+
+        def bsr_apply(vals, row, col, pre_t):
+            if pre_t is not None:
+                return spmm_pret(vals, pre_t, row, col, x_flat,
+                                 block=self.block, interpret=self.interpret)
+            return spmm(vals, row, col, x_flat, block=self.block,
+                        interpret=self.interpret)
+
         outs = [x_flat]
-        for sv, static in zip(self._support_vars, self._support_static):
+        for sv, static, pre_t in zip(self._support_vars, self._support_static,
+                                     support_prets):
             part = lambda k: jax.lax.stop_gradient(sv[k].value)
             y = None
             if "band_values" in sv:
@@ -260,8 +319,7 @@ class SparseATGCN(nn.Module):
                               static["band_offsets_static"], x_flat,
                               block=self.block).astype(x_flat.dtype)
             if "values" in sv and sv["values"].value.shape[0] > 0:
-                yb = spmm(part("values"), part("row"), part("col"),
-                          x_flat, block=self.block, interpret=self.interpret)
+                yb = bsr_apply(part("values"), part("row"), part("col"), pre_t)
                 y = yb if y is None else y + yb
             if y is None:  # split left nothing dense (pure hub/tail support)
                 y = jnp.zeros_like(x_flat)
@@ -279,25 +337,27 @@ class SparseATGCN(nn.Module):
             outs.append(y)
         if adaptive is not None:
             a_vals, a_row, a_col, background = adaptive
-            y = spmm(a_vals, a_row, a_col, x_flat, block=self.block,
-                     interpret=self.interpret)
+            y = bsr_apply(a_vals, a_row, a_col, adaptive_pret)
             if background is not None:
                 # rank-1 exp(0) background of the dense reference softmax
                 y = y + background.reshape(-1, 1) * x_flat.sum(axis=0, keepdims=True)
             outs.append(y)
-        return jnp.stack(outs, axis=0)
+        # the Pallas kernels accumulate f32; fold back to the compute dtype
+        # so the stack (and everything downstream in the scan) stays narrow
+        return jnp.stack([o.astype(x_flat.dtype) for o in outs], axis=0)
 
     def _mix(self, h_stack, cell):
         """h_stack (K, N, B, C) -> (N, B, out) through the (node-)weight pool."""
         if self.node_conditioned == "factored":
             # per-expert contraction, then node-embedding mix:
             # U[n,b,d,o] = sum_{k,i} H[k,n,b,i] P[d,k,i,o]; out = sum_d e[n,d] U
-            u = jnp.einsum("knbi,dkio->nbdo", h_stack, cell["pool"])
-            out = jnp.einsum("nbdo,nd->nbo", u, self._node_emb)
-            bias = self._node_emb @ cell["bias"]  # (N, out)
+            u = jnp.einsum("knbi,dkio->nbdo", h_stack, self._cast(cell["pool"]))
+            emb = self._cast(self._node_emb)
+            out = jnp.einsum("nbdo,nd->nbo", u, emb)
+            bias = emb @ self._cast(cell["bias"])  # (N, out)
             return out + bias[:, None, :]
-        out = jnp.einsum("knbi,kio->nbo", h_stack, cell["pool"])
-        return out + cell["bias"][0][None, None, :]
+        out = jnp.einsum("knbi,kio->nbo", h_stack, self._cast(cell["pool"]))
+        return out + self._cast(cell["bias"][0])[None, None, :]
 
     # ---------------------------------------------------------------- forward
     def __call__(self, x, train: bool = False):
@@ -306,16 +366,20 @@ class SparseATGCN(nn.Module):
             raise ValueError("expected padded node dim {}, got {}".format(self.num_nodes, n))
         adaptive = self._adaptive_values() if self.adaptive_pattern is not None else None
         hdim = self.hidden_dim
+        if self.distributed:
+            support_prets, adaptive_pret = None, None
+        else:
+            support_prets, adaptive_pret = self._precompute_transposes(adaptive)
 
         # (T, N, B, C) layout: SpMM consumes (N_pad, feat) with feat = B*C.
-        current = jnp.transpose(x, (1, 2, 0, 3))
+        current = jnp.transpose(self._cast(x), (1, 2, 0, 3))
 
         for layer_idx, cell in enumerate(self._layers):
             dim_in = current.shape[-1]
 
             # Hoist the input-part aggregation over all timesteps.
             flat = current.reshape(t, n, b * dim_in).transpose(1, 0, 2).reshape(n, t * b * dim_in)
-            agg_x = self._aggregate(flat, adaptive)  # (K, N, T*B*C)
+            agg_x = self._aggregate(flat, adaptive, support_prets, adaptive_pret)  # (K, N, T*B*C)
             k = agg_x.shape[0]
             agg_x = (
                 agg_x.reshape(k, n, t, b, dim_in).transpose(2, 0, 1, 3, 4)
@@ -327,13 +391,15 @@ class SparseATGCN(nn.Module):
             def step(hstate, inputs, pool_g=pool_g, pool_u=pool_u, dim_in=dim_in):
                 agg_x_t = inputs  # (K, N, B, C)
                 # gate: aggregate h, concat with hoisted x part along channels
-                agg_h = self._aggregate(hstate.reshape(n, b * hdim), adaptive)
+                agg_h = self._aggregate(hstate.reshape(n, b * hdim), adaptive,
+                                        support_prets, adaptive_pret)
                 agg_h = agg_h.reshape(-1, n, b, hdim)
                 z_r = jax.nn.sigmoid(
                     self._mix(jnp.concatenate([agg_x_t, agg_h], axis=-1), pool_g)
                 )
                 z, r = jnp.split(z_r, 2, axis=-1)
-                agg_zh = self._aggregate((z * hstate).reshape(n, b * hdim), adaptive)
+                agg_zh = self._aggregate((z * hstate).reshape(n, b * hdim),
+                                         adaptive, support_prets, adaptive_pret)
                 agg_zh = agg_zh.reshape(-1, n, b, hdim)
                 hc = jnp.tanh(
                     self._mix(jnp.concatenate([agg_x_t, agg_zh], axis=-1), pool_u)
@@ -343,14 +409,15 @@ class SparseATGCN(nn.Module):
 
             if self.remat:
                 step = jax.checkpoint(step)
-            h0 = jnp.zeros((n, b, hdim), x.dtype)
+            h0 = jnp.zeros((n, b, hdim), current.dtype)
             _, states = jax.lax.scan(step, h0, agg_x)  # (T, N, B, H)
             current = states
 
         last = current[-1]  # (N, B, H)
-        out = last @ self._end_kernel + self._end_bias[0]  # (N, B, Tout*out)
+        out = last @ self._cast(self._end_kernel) + self._cast(self._end_bias[0])
         out = out.reshape(n, b, self.output_window, self.output_dim)
-        return jnp.transpose(out, (1, 2, 0, 3))
+        # predictions back in f32: the loss/metrics space stays full precision
+        return jnp.transpose(out, (1, 2, 0, 3)).astype(jnp.float32)
 
 
 def init_with_graph(model: SparseATGCN, rng, x):
@@ -411,6 +478,7 @@ def build_sparse_atgcn_dist(
         remat=config.get("remat", False),
         interpret=interpret,
         adaptive_softmax=config.get("adaptive_softmax", "sampled"),
+        compute_dtype=config.get("compute_dtype", None),
         dist_plan=plan,
         dist_mesh=mesh,
         dist_axis=axis,
@@ -512,4 +580,5 @@ def build_sparse_atgcn(graph, config, interpret: bool = False) -> SparseATGCN:
         remat=config.get("remat", False),
         interpret=interpret,
         adaptive_softmax=config.get("adaptive_softmax", "sampled"),
+        compute_dtype=config.get("compute_dtype", None),
     )

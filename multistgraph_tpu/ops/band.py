@@ -21,18 +21,27 @@ full (R_blocks, b, b) plane — `split_band` only densifies offsets whose
 tile population clears `min_fill_frac`, leaving the rest in COO for the
 hub/tail machinery.
 
-Known limitation (measured round 3, JAX 0.9.0): the TRAINING backward of
-this form inside SparseATGCN's recurrence compiles pathologically slowly
-on TPU (~2 min at 12k nodes, >20 min at 49k; forward/inference compiles in
-seconds, and the isolated scan+remat grad also compiles in seconds — the
-blowup needs the full model context; both the per-offset-sum and the
-single-stacked-einsum formulations trigger it, with and without remat).
-Until the XLA pathology is isolated, prefer the hub split
-(ops/hybrid.py) for TRAINING at scale — measured 1.71x the plain-BSR
-train step at 50k — and the band form for SpMM/serving, where it is the
-fastest representation (12.8 ms bf16 at 1M nodes, docs/DESIGN.md §4).
+Training: `spmm_band` carries a `jax.custom_vjp` (round 4). Round 3 found
+that AUTODIFF through the stacked-slice einsum inside SparseATGCN's
+remat'd recurrence compiles pathologically on TPU (~2 min at 12k nodes,
+>20 min at 49k, while forward-only compiled in seconds — the cotangent of
+the O stacked x-slices is a chain of overlapping pad-and-adds that XLA's
+fusion planner chokes on in the full-model context). The custom VJP hides
+that region from autodiff entirely — the same discipline as the Pallas
+kernels (ops/spmm.py) — and its backward closes under band algebra:
+
+    dX[r+o] += V_o[r]^T dY[r]   — one batched matmul per call
+                                   ("orij,rif->orjf") + O static
+                                   shifted adds into a padded buffer;
+    dV_o[r]  = dY[r] X[r+o]^T   — one sampled outer-product einsum
+                                   ("rif,orjf->orij") over the SAME
+                                   stacked x-slices as the forward.
+
+With it, band-form training compiles in seconds at 49k nodes (measured
+round 4, docs/DESIGN.md §4) and the fastest 1M representation trains.
 """
 
+import functools
 from dataclasses import dataclass
 
 import numpy as np

@@ -101,7 +101,8 @@ def _spmm_blockgrid(values, row_of, col_of, x, block: int, interpret: bool, out_
 
 # --------------------------------------------------- sampled matmul (SDDMM)
 def _sampled_kernel(row_of_ref, col_of_ref, a_ref, b_ref, out_ref):
-    out_ref[...] = jnp.dot(a_ref[...], b_ref[...], preferred_element_type=jnp.float32)[None]
+    acc = jnp.dot(a_ref[...], b_ref[...], preferred_element_type=jnp.float32)
+    out_ref[...] = acc.astype(out_ref.dtype)[None]
 
 
 @functools.partial(jax.jit, static_argnames=("block", "interpret"))
@@ -121,10 +122,14 @@ def _sampled_matmul_impl(a, b, row_of, col_of, block: int, interpret: bool):
         ],
         out_specs=pl.BlockSpec((1, block, block), lambda i, row_of, col_of: (i, 0, 0)),
     )
+    # each tile is written ONCE (no accumulation), so emitting the operand
+    # dtype is a single rounding — under compute_dtype='bfloat16' this halves
+    # the dominant (nnz, b, b) score array (2.4 GB at 1M nodes)
+    out_dtype = a.dtype if a.dtype == jnp.bfloat16 else jnp.float32
     return pl.pallas_call(
         _sampled_kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((nnz, block, block), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((nnz, block, block), out_dtype),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * nnz * block * block * d,
@@ -184,7 +189,9 @@ def _spmm_bwd(block, interpret, out_blocks, res, dy):
     dx = _spmm_impl(v_t, r_t, c_t, dy, block=block, interpret=interpret, out_blocks=n_blocks)
     dvalues = _sampled_matmul_impl(dy, x.T, row_of, col_of, block=block, interpret=interpret)
     zr, zc = _int_zero_grads(row_of, col_of)
-    return dvalues, zr, zc, dx
+    # kernels accumulate f32; cotangents must match the primal dtypes
+    # (bf16 primals under compute_dtype='bfloat16')
+    return dvalues.astype(values.dtype), zr, zc, dx.astype(x.dtype)
 
 
 _spmm_vjp.defvjp(_spmm_fwd, _spmm_bwd)
@@ -198,6 +205,59 @@ def spmm(values, row_of, col_of, x, block: int = 128, interpret: bool = False,
     out_blocks (static) sets the output's row-block count when it differs from
     x's (rectangular A, e.g. aggregation from a boundary receive buffer)."""
     return _spmm_vjp(values, row_of, col_of, x, block, interpret, out_blocks)
+
+
+# ------------------------------------------- public: spmm_pret (hoisted A^T)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
+def _spmm_pret_vjp(values, v_t, row_of, col_of, r_t, c_t, x, block, interpret,
+                   out_blocks):
+    return _spmm_impl(values, row_of, col_of, x, block=block,
+                      interpret=interpret, out_blocks=out_blocks)
+
+
+def _spmm_pret_fwd(values, v_t, row_of, col_of, r_t, c_t, x, block, interpret,
+                   out_blocks):
+    y = _spmm_impl(values, row_of, col_of, x, block=block, interpret=interpret,
+                   out_blocks=out_blocks)
+    return y, (v_t, row_of, col_of, r_t, c_t, x)
+
+
+def _spmm_pret_bwd(block, interpret, out_blocks, res, dy):
+    v_t, row_of, col_of, r_t, c_t, x = res
+    vdtype = v_t.dtype  # transposed copy shares the primal values' dtype
+    n_blocks = x.shape[0] // block
+    dx = _spmm_impl(v_t, r_t, c_t, dy, block=block, interpret=interpret,
+                    out_blocks=n_blocks)
+    dvalues = _sampled_matmul_impl(dy, x.T, row_of, col_of, block=block,
+                                   interpret=interpret)
+    zr, zc, zrt, zct = _int_zero_grads(row_of, col_of, r_t, c_t)
+    # y never reads v_t (it only steers the backward), so its cotangent is
+    # exactly zero; callers stop_gradient the transpose so XLA drops it.
+    return (dvalues.astype(vdtype), jnp.zeros_like(v_t), zr, zc, zrt, zct,
+            dx.astype(x.dtype))
+
+
+_spmm_pret_vjp.defvjp(_spmm_pret_fwd, _spmm_pret_bwd)
+
+
+def spmm_pret(values, pre_t, row_of, col_of, x, block: int = 128,
+              interpret: bool = False, out_blocks=None):
+    """`spmm` with a caller-precomputed block transpose `pre_t = (v_t, r_t,
+    c_t)` (from bsr_transpose) steering the backward dX pass.
+
+    Why it exists: inside a lax.scan, plain `spmm`'s backward re-derives the
+    block transpose (argsort + gather + tile transpose of the FULL value
+    array) at every step — at 1M nodes that is two ~1.2 GB copies live per
+    step inside the while body, which is both the measured HBM-OOM driver
+    and wasted bandwidth (docs/DESIGN.md §4). The transpose of a
+    loop-invariant support is itself loop-invariant; computing it ONCE
+    outside the scan and threading it here makes the backward a pure pair of
+    kernel calls. Callers should pass `pre_t` under jax.lax.stop_gradient —
+    y does not depend on it, so its cotangent is identically zero.
+    """
+    v_t, r_t, c_t = pre_t
+    return _spmm_pret_vjp(values, v_t, row_of, col_of, r_t, c_t, x, block,
+                          interpret, out_blocks)
 
 
 # -------------------------------------------------- public: sddmm_relu (VJP)
@@ -220,7 +280,7 @@ def _sddmm_bwd(block, interpret, res, ds):
     m_t, r_t, c_t = bsr_transpose(dm, row_of, col_of, n_blocks)
     de2 = _spmm_impl(m_t, r_t, c_t, e1, block=block, interpret=interpret).T
     zr, zc = _int_zero_grads(row_of, col_of)
-    return de1, de2, zr, zc
+    return de1.astype(e1.dtype), de2.astype(e2.dtype), zr, zc
 
 
 _sddmm_vjp.defvjp(_sddmm_fwd, _sddmm_bwd)
@@ -250,11 +310,13 @@ def sparse_row_softmax(values, row_of, num_row_blocks: int):
     the dense semantics EXACTLY (to float tolerance, asserted <1e-5) at
     sparse cost via a rank-1 background term.
     """
+    # exp stays in the input dtype (bf16 under compute_dtype — the (nnz,b,b)
+    # array is the footprint that matters); row sums accumulate in f32
     exp_vals = jnp.where(values > 0, jnp.exp(values), 0.0)
-    per_block_rowsum = exp_vals.sum(axis=2)  # (nnz, block)
+    per_block_rowsum = exp_vals.sum(axis=2, dtype=jnp.float32)  # (nnz, block)
     totals = jax.ops.segment_sum(per_block_rowsum, row_of, num_segments=num_row_blocks)
     denom = jnp.maximum(totals[row_of], 1e-9)  # (nnz, block)
-    return exp_vals / denom[:, :, None]
+    return exp_vals / denom[:, :, None].astype(exp_vals.dtype)
 
 
 def sparse_row_softmax_dense_corrected(values, row_of, num_row_blocks: int, num_nodes: int):
@@ -272,8 +334,8 @@ def sparse_row_softmax_dense_corrected(values, row_of, num_row_blocks: int, num_
     Returns (corrected_values (nnz, b, b), background (num_row_blocks, b)).
     """
     expm1 = jnp.where(values > 0, jnp.expm1(values), 0.0)
-    per_block_rowsum = expm1.sum(axis=2)
+    per_block_rowsum = expm1.sum(axis=2, dtype=jnp.float32)
     totals = jax.ops.segment_sum(per_block_rowsum, row_of, num_segments=num_row_blocks)
-    z = num_nodes + totals  # (num_row_blocks, block)
-    vals = expm1 / z[row_of][:, :, None]
-    return vals, 1.0 / z
+    z = num_nodes + totals  # (num_row_blocks, block), f32
+    vals = expm1 / z[row_of][:, :, None].astype(expm1.dtype)
+    return vals, (1.0 / z).astype(expm1.dtype)

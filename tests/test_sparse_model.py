@@ -229,3 +229,33 @@ def test_band_decomposition_support_matches_plain_bsr(rng):
     val, grads = jax.value_and_grad(loss)(p_ad["params"])
     assert np.isfinite(float(val))
     assert np.abs(np.asarray(grads["node_vec1"])).sum() > 0
+
+
+def test_bf16_compute_dtype_trains_close_to_f32(rng):
+    """compute_dtype='bfloat16' (the 1M-HBM-fit mode, docs/DESIGN.md §4):
+    graph arrays are STORED bf16, activations/pools stream bf16, params and
+    the prediction stay f32, and one training step tracks the f32 step."""
+    graph, _ = _graph(rng)
+    x = jnp.asarray(rng.normal(size=(2, 3, N_PAD, 1)).astype(np.float32))
+
+    def one_step(cfg):
+        model = build_sparse_atgcn(graph, cfg, interpret=True)
+        params = init_with_graph(model, jax.random.PRNGKey(0), x)
+
+        def loss(trainable):
+            pred = model.apply(
+                {"params": trainable, "graph": params["graph"]}, x, train=False)
+            assert pred.dtype == jnp.float32
+            return jnp.mean(jnp.square(pred))
+
+        return jax.value_and_grad(loss)(params["params"]), params
+
+    (v32, g32), _ = one_step(_config(adpadj="unidirection"))
+    (v16, g16), p16 = one_step(
+        _config(adpadj="unidirection", compute_dtype="bfloat16"))
+    # graph value arrays actually stored in bf16 (footprint, not just stream)
+    assert p16["graph"]["support0_values"].dtype == jnp.bfloat16
+    assert abs(float(v16) - float(v32)) < 3e-2 * max(1.0, abs(float(v32)))
+    n1 = float(jax.tree_util.tree_reduce(
+        lambda a, b: a + jnp.abs(b).sum(), g16, jnp.float32(0)))
+    assert np.isfinite(n1) and n1 > 0

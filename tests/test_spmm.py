@@ -304,3 +304,41 @@ def test_spmm_stream_chunked_and_pinned_variants(rng):
                dict(pin_x=True, chunk=64, n_buf=2)):  # chunk > nnz clamps
         y = np.asarray(spmm_stream(*args, interpret=True, **kw))
         np.testing.assert_allclose(y, y_base, atol=0, rtol=0, err_msg=str(kw))
+
+
+def test_spmm_pret_matches_spmm_and_grads(rng):
+    """spmm_pret (hoisted-A^T variant): forward identical to spmm, backward
+    steered by the caller-precomputed transpose gives the same gradients,
+    and the transpose operand's own cotangent is exactly zero."""
+    import jax
+    import jax.numpy as jnp
+
+    from multistgraph_tpu.ops.spmm import bsr_transpose, spmm_pret
+
+    g, dense = _random_bsr(rng, n=256, density=0.08)
+    x = jnp.asarray(rng.normal(size=(g.padded_nodes, 128)).astype(np.float32))
+    dy_seed = jnp.asarray(rng.normal(size=(g.padded_nodes, 128)).astype(np.float32))
+    vals = jnp.asarray(g.values)
+    row, col = jnp.asarray(g.row_of), jnp.asarray(g.col_of)
+    pre_t = bsr_transpose(vals, row, col, g.padded_nodes // BLOCK)
+
+    y_plain = spmm(vals, row, col, x, interpret=True)
+    y_pret = spmm_pret(vals, pre_t, row, col, x, interpret=True)
+    np.testing.assert_allclose(np.asarray(y_pret), np.asarray(y_plain), atol=1e-5)
+
+    def loss(fn, values, xx):
+        return jnp.sum(fn(values, xx) * dy_seed)
+
+    d_plain = jax.grad(lambda v, xx: loss(
+        lambda vv, q: spmm(vv, row, col, q, interpret=True), v, xx),
+        argnums=(0, 1))(vals, x)
+    d_pret = jax.grad(lambda v, xx: loss(
+        lambda vv, q: spmm_pret(vv, pre_t, row, col, q, interpret=True), v, xx),
+        argnums=(0, 1))(vals, x)
+    np.testing.assert_allclose(np.asarray(d_pret[0]), np.asarray(d_plain[0]), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(d_pret[1]), np.asarray(d_plain[1]), atol=1e-4)
+
+    # the transpose is a backward-only hint: its cotangent must be zero
+    dvt = jax.grad(lambda vt: jnp.sum(spmm_pret(
+        vals, (vt, pre_t[1], pre_t[2]), row, col, x, interpret=True)))(pre_t[0])
+    assert float(jnp.abs(dvt).max()) == 0.0

@@ -6,10 +6,16 @@ model-level edge throughput: edges aggregated per second =
 nnz_edges x aggregations_per_step / step_seconds.
 
 Usage: python tools/bench_large_graph.py [num_nodes] [avg_degree] [T] [B] [split]
+                                         [--dtype f32|bf16] [--embed-dim E]
+                                         [--hidden H] [--iters K]
     split: none (default) | hub | tail | band — hybrid-partition the
     graph (ops/hybrid.py, ops/band.py) before building the model.
+    --dtype bf16 sets the model's compute_dtype (params/optimizer stay f32;
+    graph value arrays are STORED bf16) — at 1M nodes this is what makes a
+    training step fit in a v5e's 16 GB HBM at all.
 """
 
+import argparse
 import json
 import os
 import sys
@@ -27,14 +33,23 @@ from multistgraph_tpu.ops import bsr
 
 
 def main():
-    num_nodes = int(sys.argv[1]) if len(sys.argv) > 1 else 49152
-    avg_degree = int(sys.argv[2]) if len(sys.argv) > 2 else 16
-    t_steps = int(sys.argv[3]) if len(sys.argv) > 3 else 8
-    batch = int(sys.argv[4]) if len(sys.argv) > 4 else 2
-    split = sys.argv[5] if len(sys.argv) > 5 else "none"
+    ap = argparse.ArgumentParser()
+    ap.add_argument("num_nodes", nargs="?", type=int, default=49152)
+    ap.add_argument("avg_degree", nargs="?", type=int, default=16)
+    ap.add_argument("t_steps", nargs="?", type=int, default=8)
+    ap.add_argument("batch", nargs="?", type=int, default=2)
+    ap.add_argument("split", nargs="?", default="none",
+                    choices=("none", "hub", "tail", "band"))
+    ap.add_argument("--dtype", choices=("f32", "bf16"), default="f32")
+    ap.add_argument("--embed-dim", type=int, default=128)
+    ap.add_argument("--hidden", type=int, default=64)
+    ap.add_argument("--iters", type=int, default=5)
+    cli = ap.parse_args()
+    num_nodes, avg_degree = cli.num_nodes, cli.avg_degree
+    t_steps, batch, split = cli.t_steps, cli.batch, cli.split
 
-    print("building graph N={} deg={} split={} ...".format(
-        num_nodes, avg_degree, split), file=sys.stderr)
+    print("building graph N={} deg={} split={} dtype={} ...".format(
+        num_nodes, avg_degree, split, cli.dtype), file=sys.stderr)
     graph, _ = bsr.random_spatial_graph(
         num_nodes, avg_degree, seed=0,
         split=None if split == "none" else split)
@@ -43,9 +58,11 @@ def main():
     core = graph.bsr if split in ("hub", "tail") else graph
     nnz_edges = graph.nnz_edges
     cfg = {
-        "output_window": 3, "output_dim": 1, "rnn_units": 64, "num_layers": 2,
-        "embed_dim_adj": 128, "adpadj": "unidirection", "node_conditioned": "off",
+        "output_window": 3, "output_dim": 1, "rnn_units": cli.hidden,
+        "num_layers": 2, "embed_dim_adj": cli.embed_dim,
+        "adpadj": "unidirection", "node_conditioned": "off",
         "remat": True,
+        "compute_dtype": "bfloat16" if cli.dtype == "bf16" else None,
     }
     model = build_sparse_atgcn(graph, cfg)
     rng = np.random.default_rng(0)
@@ -78,7 +95,7 @@ def main():
     compile_s = time.time() - t0
     print("step compile {:.1f}s loss {:.4f}".format(compile_s, float(loss)), file=sys.stderr)
 
-    iters = 5
+    iters = cli.iters
     t0 = time.time()
     for _ in range(iters):
         params, opt_state, loss = step(params, opt_state, x, y)
@@ -112,9 +129,11 @@ def main():
             )
     print("boundary fractions: {}".format(boundary), file=sys.stderr)
 
+    scale = ("1m" if num_nodes >= 10**6
+             else "{}k".format(round(num_nodes / 1024)))
     print(json.dumps({
-        "metric": "sparse_train_edges_per_second_50k" if split == "none"
-                  else "sparse_train_edges_per_second_50k_" + split,
+        "metric": "sparse_train_edges_per_second_{}{}".format(
+            scale, "" if split == "none" else "_" + split),
         "value": round(edges_s),
         "unit": "edges/s",
         "extras": {
@@ -122,6 +141,11 @@ def main():
             "compile_seconds": round(compile_s, 1),
             "num_nodes": num_nodes,
             "split": split,
+            "dtype": cli.dtype,
+            "t_steps": t_steps,
+            "batch": batch,
+            "hidden": cli.hidden,
+            "embed_dim_adj": cli.embed_dim,
             "nnz_edges": nnz_edges,
             "nnz_blocks": getattr(core, "nnz_blocks", None),
             "device": jax.devices()[0].platform,
