@@ -44,6 +44,7 @@ round 4, docs/DESIGN.md §4) and the fastest 1M representation trains.
 import functools
 from dataclasses import dataclass
 
+import jax
 import numpy as np
 
 __all__ = ["BandGraph", "split_band", "spmm_band"]
@@ -128,16 +129,72 @@ def split_band(
     )
 
 
+def _band_slices(xp, offs, radius):
+    """(O, n_blocks, b, F) stack of the offset-shifted views of padded X.
+
+    ONE einsum over all diagonals (the offset-shifted x views stack into a
+    leading O axis): same math as summing one batched dot per offset, but
+    a single HLO dot — XLA compiles the per-offset sum formulation
+    pathologically inside remat'd model scans (>20 min at 49k nodes;
+    measured round 3), while this form compiles in seconds."""
+    import jax.numpy as jnp
+
+    n_blocks = xp.shape[0] - 2 * radius
+    return jnp.stack([xp[radius + o : radius + o + n_blocks] for o in offs])
+
+
+def _band_apply(band_values, xp, offs, radius):
+    import jax.numpy as jnp
+
+    xs = _band_slices(xp, offs, radius)
+    return jnp.einsum("orij,orjf->rif", band_values.astype(xp.dtype), xs,
+                      preferred_element_type=jnp.float32).astype(xp.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _band_vjp(band_values, xp, offs, radius):
+    return _band_apply(band_values, xp, offs, radius)
+
+
+def _band_fwd(band_values, xp, offs, radius):
+    return _band_apply(band_values, xp, offs, radius), (band_values, xp)
+
+
+def _band_bwd(offs, radius, res, dy):
+    """Hand-written band-algebra backward (docstring above):
+    dV_o[r] = dY[r] X[r+o]^T and dX[r+o] += V_o[r]^T dY[r] as O static
+    shifted adds into the padded buffer — hides autodiff's pathological
+    overlapping pad-and-add chain from XLA entirely."""
+    import jax.numpy as jnp
+
+    band_values, xp = res
+    n_blocks = xp.shape[0] - 2 * radius
+    dyc = dy.astype(xp.dtype)
+    xs = _band_slices(xp, offs, radius)
+    dv = jnp.einsum("rif,orjf->orij", dyc, xs,
+                    preferred_element_type=jnp.float32
+                    ).astype(band_values.dtype)
+    contrib = jnp.einsum("orij,rif->orjf", band_values.astype(xp.dtype), dyc,
+                         preferred_element_type=jnp.float32)
+    dxp = jnp.zeros(xp.shape, jnp.float32)
+    for i, o in enumerate(offs):
+        dxp = dxp.at[radius + o : radius + o + n_blocks].add(contrib[i])
+    return dv, dxp.astype(xp.dtype)
+
+
+_band_vjp.defvjp(_band_fwd, _band_bwd)
+
+
 def spmm_band(band_values, offsets, x, block: int = 128):
     """Y = A_band @ X: one batched matmul per offset diagonal over a sliced,
     zero-padded X. offsets must be the host-side numpy array (static under
     jit — it selects slice positions). Differentiable w.r.t. band_values
-    and x."""
+    and x through the hand-written custom VJP (module docstring)."""
     import jax.numpy as jnp
 
     n_pad, feat = x.shape
     n_blocks = n_pad // block
-    offs = [int(o) for o in np.asarray(offsets)]
+    offs = tuple(int(o) for o in np.asarray(offsets))
     if not offs:
         return jnp.zeros_like(x)
     radius = max(abs(o) for o in offs)
@@ -147,12 +204,5 @@ def spmm_band(band_values, offsets, x, block: int = 128):
         xp = jnp.concatenate([pad, xb, pad], axis=0)
     else:
         xp = xb
-    # ONE einsum over all diagonals (the offset-shifted x views stack into a
-    # leading O axis): same math as summing one batched dot per offset, but
-    # a single HLO dot — XLA compiles the per-offset sum formulation
-    # pathologically inside remat'd model scans (>20 min at 49k nodes;
-    # measured round 3), while this form compiles in seconds.
-    xs = jnp.stack([xp[radius + o : radius + o + n_blocks] for o in offs])
-    y = jnp.einsum("orij,orjf->rif", band_values.astype(x.dtype), xs,
-                   preferred_element_type=jnp.float32)
+    y = _band_vjp(band_values, xp, offs, radius)
     return y.reshape(n_pad, feat).astype(x.dtype)
