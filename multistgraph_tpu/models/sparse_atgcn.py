@@ -296,6 +296,8 @@ class SparseATGCN(nn.Module):
             return boundary_aggregate(
                 self._bnd_arrays(), x_flat, self.dist_mesh, axis=self.dist_axis,
                 block=self.block, adaptive_values=adaptive, interpret=self.interpret,
+                band_offsets=self.dist_plan.band_offsets,
+                band_radius=self.dist_plan.band_radius,
             )
         if support_prets is None:
             support_prets = [None] * len(self._support_vars)
@@ -453,18 +455,36 @@ def build_sparse_atgcn_dist(
 ) -> SparseATGCN:
     """Edge-partitioned multi-chip SparseATGCN over `mesh`'s `axis`.
 
+    Accepts every graph form the single-chip builder does: BSRGraph,
+    HybridGraph (hub columns row-sharded + psum-gathered), TailGraph
+    (scattered COO edges ride a per-row all_to_all), and BandGraph (offset
+    diagonals become a row-sharded stencil with neighbor-halo ppermutes;
+    the COO remainder is hub/tail split — ops/spmm_boundary.py, round 4).
+
     Parameter tree is identical to build_sparse_atgcn's for the same config,
     so checkpoints move freely between the single- and multi-chip backends.
     """
-    from multistgraph_tpu.ops.hybrid import HybridGraph
+    from multistgraph_tpu.ops.band import BandGraph
+    from multistgraph_tpu.ops.hybrid import HybridGraph, TailGraph
     from multistgraph_tpu.ops.spmm_boundary import partition_bsr_boundary
 
     plan = partition_bsr_boundary(graph, mesh.shape[axis])
-    if isinstance(graph, HybridGraph):  # hub-split: remainder is the BSR core
-        graph = graph.bsr
     adaptive = config.get("adpadj", "none") != "none"
+    if isinstance(graph, BandGraph):
+        if adaptive:
+            raise NotImplementedError(
+                "the distributed band backend supports static supports only "
+                "— the single-chip band path samples the adaptive view on "
+                "the band block pattern, which has no boundary-sharded "
+                "SDDMM yet; train the band form single-chip or use the hub "
+                "split for distributed adaptive training")
+        padded, block = graph.padded_nodes, graph.block
+    else:
+        if isinstance(graph, (HybridGraph, TailGraph)):
+            graph = graph.bsr  # remainder is the BSR core
+        padded, block = graph.padded_nodes, graph.block
     return SparseATGCN(
-        num_nodes=graph.padded_nodes,
+        num_nodes=padded,
         output_window=config.get("output_window", 1),
         output_dim=config.get("output_dim", 1),
         hidden_dim=config.get("rnn_units", 64),
@@ -474,7 +494,7 @@ def build_sparse_atgcn_dist(
         adaptive_pattern=True if adaptive else None,
         node_conditioned=config.get("node_conditioned", "off"),
         embed_dim_node=config.get("embed_dim_node", 8),
-        block=graph.block,
+        block=block,
         remat=config.get("remat", False),
         interpret=interpret,
         adaptive_softmax=config.get("adaptive_softmax", "sampled"),

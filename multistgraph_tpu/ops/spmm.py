@@ -183,6 +183,15 @@ def _spmm_fwd(values, row_of, col_of, x, block, interpret, out_blocks):
 def _spmm_bwd(block, interpret, out_blocks, res, dy):
     values, row_of, col_of, x = res
     n_blocks = x.shape[0] // block
+    # Under compute_dtype='bfloat16' round dy ONCE before the backward
+    # kernels: dV then leaves the sampled matmul already bf16, so the
+    # (nnz, b, b) gradient accumulator XLA carries across the time scan is
+    # half the bytes — at 1M nodes the f32 accumulators were the largest
+    # allocations in the training step (2.4 GB each, docs/DESIGN.md §4).
+    # dy was produced from a bf16 stream anyway; rounding before instead of
+    # after the multiply-accumulate costs <1 ulp of bf16.
+    if x.dtype == jnp.bfloat16:
+        dy = dy.astype(jnp.bfloat16)
     # sort-key multiplier must exceed every row id (rows can outnumber x's
     # blocks for rectangular A)
     v_t, r_t, c_t = bsr_transpose(values, row_of, col_of, max(n_blocks, out_blocks or 0))
@@ -226,6 +235,9 @@ def _spmm_pret_bwd(block, interpret, out_blocks, res, dy):
     v_t, row_of, col_of, r_t, c_t, x = res
     vdtype = v_t.dtype  # transposed copy shares the primal values' dtype
     n_blocks = x.shape[0] // block
+    # see _spmm_bwd: bf16 dy keeps the scan-carried dV accumulator bf16
+    if x.dtype == jnp.bfloat16:
+        dy = dy.astype(jnp.bfloat16)
     dx = _spmm_impl(v_t, r_t, c_t, dy, block=block, interpret=interpret,
                     out_blocks=n_blocks)
     dvalues = _sampled_matmul_impl(dy, x.T, row_of, col_of, block=block,

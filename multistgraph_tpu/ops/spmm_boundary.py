@@ -67,6 +67,28 @@ class BoundaryShardedBSR:
     hub_values: Optional[np.ndarray] = None   # (S, per*b, H) row-sharded
     hub_lidx: Optional[np.ndarray] = None     # (S, H) owner-local row ids
     hub_lmask: Optional[np.ndarray] = None    # (S, H) 1 where shard owns hub
+    # scattered-tail extension (ops/hybrid.py TailGraph, round 4): singleton
+    # COO edges partitioned by DESTINATION row shard. Unlike the BSR
+    # boundary (whole 128-row column blocks), the tail exchanges individual
+    # x ROWS — a scattered edge must not inflate the exchange by 128x. Local
+    # edges read resident rows; remote edges read a row all_to_all'd from
+    # its owner. Padding slots carry weight 0 (a no-op contribution) and the
+    # max row id so the sorted-segment-sum invariant survives padding.
+    tail_local_w: Optional[np.ndarray] = None    # (S, max_tl) f32
+    tail_local_src: Optional[np.ndarray] = None  # (S, max_tl) shard-local out rows, sorted
+    tail_local_dst: Optional[np.ndarray] = None  # (S, max_tl) shard-local col node ids
+    tail_remote_w: Optional[np.ndarray] = None   # (S, max_tr) f32
+    tail_remote_src: Optional[np.ndarray] = None # (S, max_tr) shard-local out rows, sorted
+    tail_remote_dst: Optional[np.ndarray] = None # (S, max_tr) slot in tail recv buffer
+    tail_send_idx: Optional[np.ndarray] = None   # (S, S, max_tsend) owner-local node ids
+    # band extension (ops/band.py BandGraph, round 4): offset diagonals are a
+    # STENCIL — a shard's band tiles reference at most `band_radius` blocks
+    # past each end of its own rows, so the exchange is a neighbor halo
+    # (two ppermutes), not an all_to_all. band_offsets stays host-side
+    # static (it selects slice positions under jit).
+    band_values: Optional[np.ndarray] = None     # (S, O, per, b, b) row-sharded
+    band_offsets: Optional[Tuple[int, ...]] = None  # STATIC block offsets
+    band_radius: int = 0
 
     def graph_arrays(self) -> Dict[str, np.ndarray]:
         """The stacked arrays a model stores in its 'graph' variable
@@ -83,19 +105,142 @@ class BoundaryShardedBSR:
         if self.hub_values is not None:
             arrs.update(hub_values=self.hub_values, hub_lidx=self.hub_lidx,
                         hub_lmask=self.hub_lmask)
+        if self.tail_local_w is not None:
+            arrs.update(
+                tail_local_w=self.tail_local_w,
+                tail_local_src=self.tail_local_src,
+                tail_local_dst=self.tail_local_dst,
+                tail_remote_w=self.tail_remote_w,
+                tail_remote_src=self.tail_remote_src,
+                tail_remote_dst=self.tail_remote_dst,
+                tail_send_idx=self.tail_send_idx,
+            )
+        if self.band_values is not None:
+            arrs.update(band_values=self.band_values)
         return arrs
 
 
+def _partition_tail(tail_src, tail_dst, tail_w, num_shards: int,
+                    per_nodes: int) -> Dict[str, np.ndarray]:
+    """Partition COO tail edges (Y[src] += w * X[dst]) by destination-row
+    shard. Returns the padded per-shard arrays of BoundaryShardedBSR's tail
+    fields: local edges index resident x rows; remote edges index the slot
+    the owner's row lands in after the tail all_to_all (tail_send_idx)."""
+    S = num_shards
+    tail_src = np.asarray(tail_src, np.int64)
+    tail_dst = np.asarray(tail_dst, np.int64)
+    tail_w = np.asarray(tail_w, np.float32)
+    owner = tail_src // per_nodes      # shard that outputs the row
+    col_owner = tail_dst // per_nodes  # shard that holds the source feature
+    is_local = owner == col_owner
+
+    # rows that must travel: per destination shard, the unique remote cols
+    # (np.unique is sorted, so per source shard they are a contiguous run)
+    needed = [np.unique(tail_dst[(owner == s) & ~is_local]) for s in range(S)]
+    send_sets = [[needed[dst][needed[dst] // per_nodes == src]
+                  for dst in range(S)] for src in range(S)]
+    max_tsend = max(max((len(s) for row in send_sets for s in row), default=0), 1)
+
+    def pack(local: bool):
+        per_lists = []
+        for s in range(S):
+            sel = (owner == s) & (is_local if local else ~is_local)
+            order = np.argsort(tail_src[sel], kind="stable")
+            rows = tail_src[sel][order] - s * per_nodes
+            cols = tail_dst[sel][order]
+            if local:
+                cols = cols - s * per_nodes
+            else:
+                # recv slot: (source shard j) * max_tsend + rank within what
+                # j sends to us (send_sets[j][s] is sorted — searchsorted)
+                slots = np.empty(len(cols), np.int64)
+                j_of = cols // per_nodes
+                for j in range(S):
+                    m = j_of == j
+                    slots[m] = j * max_tsend + np.searchsorted(
+                        send_sets[j][s], cols[m])
+                cols = slots
+            per_lists.append((tail_w[sel][order], rows, cols))
+        max_n = max(max((len(w) for w, _, _ in per_lists), default=0), 1)
+        ws = np.zeros((S, max_n), np.float32)
+        srcs = np.full((S, max_n), per_nodes - 1, np.int32)  # pad keeps sorted
+        dsts = np.zeros((S, max_n), np.int32)
+        for s, (w, r, c) in enumerate(per_lists):
+            n = len(w)
+            ws[s, :n], srcs[s, :n], dsts[s, :n] = w, r, c
+        return ws, srcs, dsts
+
+    tl_w, tl_src, tl_dst = pack(local=True)
+    tr_w, tr_src, tr_dst = pack(local=False)
+
+    tail_send_idx = np.zeros((S, S, max_tsend), np.int32)
+    for src in range(S):
+        for dst in range(S):
+            cs = send_sets[src][dst]
+            tail_send_idx[src, dst, :len(cs)] = cs - src * per_nodes
+    return dict(
+        tail_local_w=tl_w, tail_local_src=tl_src, tail_local_dst=tl_dst,
+        tail_remote_w=tr_w, tail_remote_src=tr_src, tail_remote_dst=tr_dst,
+        tail_send_idx=tail_send_idx,
+    )
+
+
 def partition_bsr_boundary(graph, num_shards: int) -> BoundaryShardedBSR:
-    """graph: BSRGraph, or HybridGraph (ops/hybrid.py) to edge-partition the
-    hub-split remainder and row-shard the dense hub columns."""
-    from multistgraph_tpu.ops.hybrid import HybridGraph
+    """graph: BSRGraph; HybridGraph (ops/hybrid.py) to edge-partition the
+    hub-split remainder and row-shard the dense hub columns; TailGraph to
+    additionally route scattered COO edges through a per-row tail exchange;
+    or BandGraph (ops/band.py) — the offset diagonals become a row-sharded
+    stencil with neighbor-halo exchange and the COO remainder is hub/tail
+    split exactly as build_sparse_atgcn does single-chip."""
+    from multistgraph_tpu.ops.band import BandGraph
+    from multistgraph_tpu.ops.bsr import BSRGraph, bsr_from_coo
+    from multistgraph_tpu.ops.hybrid import HybridGraph, TailGraph, split_hub_columns
 
     hub_cols = hub_vals_full = None
-    if isinstance(graph, HybridGraph):
+    tail_parts = band_kwargs = None
+    if isinstance(graph, BandGraph):
+        per = graph.num_row_blocks // num_shards
+        radius = int(max((abs(int(o)) for o in graph.offsets), default=0))
+        if graph.num_row_blocks % num_shards:
+            raise ValueError("num_row_blocks {} not divisible by {} shards"
+                             .format(graph.num_row_blocks, num_shards))
+        if radius > per:
+            raise ValueError(
+                "band radius {} exceeds {} row blocks per shard — the halo "
+                "exchange only reaches immediate neighbors; use fewer shards "
+                "or a narrower band".format(radius, per))
+        O, R, b, _ = graph.band_values.shape
+        band_kwargs = dict(
+            band_values=np.ascontiguousarray(
+                graph.band_values.reshape(O, num_shards, per, b, b)
+                .transpose(1, 0, 2, 3, 4)),
+            band_offsets=tuple(int(o) for o in graph.offsets),
+            band_radius=radius,
+        )
+        # COO remainder: same hub/tail decomposition as the single-chip
+        # builder (models/sparse_atgcn.py build_sparse_atgcn)
+        hy = split_hub_columns(graph.rest_src, graph.rest_dst, graph.rest_w,
+                               graph.num_nodes, graph.block)
+        if hy.num_hubs > 0:
+            hub_cols, hub_vals_full = hy.hub_cols, hy.hub_values
+        non_hub = ~np.isin(graph.rest_dst, hy.hub_cols)
+        tail_parts = (graph.rest_src[non_hub], graph.rest_dst[non_hub],
+                      graph.rest_w[non_hub])
+        # no BSR component: the pack() below pads a single zero slot per shard
+        graph = bsr_from_coo(np.zeros(0, np.int64), np.zeros(0, np.int64),
+                             np.zeros(0, np.float32), graph.num_nodes,
+                             graph.block)
+    elif isinstance(graph, TailGraph):
+        tail_parts = (graph.tail_src, graph.tail_dst, graph.tail_w)
+        graph = graph.bsr
+    elif isinstance(graph, HybridGraph):
         if graph.num_hubs > 0:
             hub_cols, hub_vals_full = graph.hub_cols, graph.hub_values
         graph = graph.bsr
+    elif not isinstance(graph, BSRGraph):
+        raise TypeError(
+            "partition_bsr_boundary supports BSRGraph, HybridGraph, TailGraph "
+            "and BandGraph; got {}".format(type(graph).__name__))
     if graph.num_row_blocks % num_shards:
         raise ValueError(
             "num_row_blocks {} not divisible by {} shards".format(
@@ -197,6 +342,13 @@ def partition_bsr_boundary(graph, num_shards: int) -> BoundaryShardedBSR:
             hub_lidx=hub_lidx, hub_lmask=hub_lmask,
         )
 
+    tail_kwargs = {}
+    if tail_parts is not None:
+        tail_kwargs = _partition_tail(*tail_parts, num_shards=S,
+                                      per_nodes=per * b)
+    if band_kwargs is None:
+        band_kwargs = {}
+
     return BoundaryShardedBSR(
         local_values=local_vals, local_row=local_rows, local_col=local_cols,
         local_gcol=local_gcols, local_mask=local_masks,
@@ -205,7 +357,7 @@ def partition_bsr_boundary(graph, num_shards: int) -> BoundaryShardedBSR:
         send_idx=send_idx, row_blocks_per_shard=per, max_send=max_send,
         block=b, num_shards=S,
         boundary_fraction=exchanged / max(total_cols, 1),
-        **hub_kwargs,
+        **hub_kwargs, **tail_kwargs, **band_kwargs,
     )
 
 
@@ -293,6 +445,8 @@ def boundary_aggregate(
     block: int = 128,
     adaptive_values: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
     interpret: bool = False,
+    band_offsets: Optional[Tuple[int, ...]] = None,
+    band_radius: int = 0,
 ):
     """(K, N_pad, F) stack [identity, static support, adaptive?] @ X with ONE
     boundary feature exchange shared by every view.
@@ -338,6 +492,53 @@ def boundary_aggregate(
                 * jax.lax.stop_gradient(a["hub_lmask"])[:, None],
                 axis)
             y_static = y_static + jax.lax.stop_gradient(a["hub_values"]) @ hub_x
+        if "tail_local_w" in a:
+            # scattered COO tail (round 4): local edges read resident rows;
+            # remote edges read their source row from a per-ROW all_to_all
+            # (a scattered edge must not ride the 128-row block exchange).
+            # Differentiable w.r.t. x: gather/segment-sum transpose to each
+            # other, all_to_all transposes to the reverse all_to_all.
+            sg = jax.lax.stop_gradient
+            per_n = x_shard.shape[0]
+            y_static = y_static + jax.ops.segment_sum(
+                sg(a["tail_local_w"])[:, None]
+                * jnp.take(x_shard, sg(a["tail_local_dst"]), axis=0),
+                sg(a["tail_local_src"]), num_segments=per_n,
+                indices_are_sorted=True).astype(y_static.dtype)
+            max_tsend = a["tail_send_idx"].shape[-1]
+            sent = jnp.take(x_shard, sg(a["tail_send_idx"]).reshape(-1),
+                            axis=0).reshape(S, max_tsend, feat)
+            recv = jax.lax.all_to_all(sent, axis, split_axis=0,
+                                      concat_axis=0, tiled=False)
+            recv = recv.reshape(S * max_tsend, feat)
+            y_static = y_static + jax.ops.segment_sum(
+                sg(a["tail_remote_w"])[:, None]
+                * jnp.take(recv, sg(a["tail_remote_dst"]), axis=0),
+                sg(a["tail_remote_src"]), num_segments=per_n,
+                indices_are_sorted=True).astype(y_static.dtype)
+        if "band_values" in a:
+            # band stencil (round 4): a shard's offset diagonals reach at
+            # most band_radius blocks past its own rows — exchange a
+            # neighbor HALO via two ppermutes, then run the shared band
+            # custom-VJP einsum on the locally padded x (ops/band.py).
+            from multistgraph_tpu.ops.band import _band_vjp
+
+            xb = x_shard.reshape(per, block, feat)
+            if band_radius:
+                my = jax.lax.axis_index(axis)
+                fwd = [(i, (i + 1) % S) for i in range(S)]
+                bwd = [(i, (i - 1) % S) for i in range(S)]
+                left = jax.lax.ppermute(xb[-band_radius:], axis, fwd)
+                right = jax.lax.ppermute(xb[:band_radius], axis, bwd)
+                left = jnp.where(my == 0, 0.0, left)       # no wraparound
+                right = jnp.where(my == S - 1, 0.0, right)
+                xp = jnp.concatenate([left, xb, right], axis=0)
+            else:
+                xp = xb
+            y_band = _band_vjp(jax.lax.stop_gradient(a["band_values"]), xp,
+                               band_offsets, band_radius)
+            y_static = y_static + y_band.reshape(per * block, feat).astype(
+                y_static.dtype)
         outs = [x_shard, y_static]
         if opt:
             y = dual_spmm(opt[0][0], opt[1][0])

@@ -176,3 +176,134 @@ def test_hub_split_dist_matches_single_chip(rng, n_dev):
         np.testing.assert_allclose(
             np.asarray(grads_d[key]), np.asarray(grads_s[key]),
             atol=5e-4, rtol=5e-3, err_msg="grad mismatch for {}".format(key))
+
+
+def _tail_split_graph(rng, num_edges=9000):
+    """Block-diagonal structured edges (stay BSR) + uniform scattered edges
+    (route through the per-row tail exchange)."""
+    from multistgraph_tpu.ops.hybrid import split_scattered_tail
+
+    n_struct = int(num_edges * 0.6)
+    src_s = rng.integers(0, N_PAD, n_struct)
+    dst_s = (src_s // BLOCK) * BLOCK + rng.integers(0, BLOCK, n_struct)
+    src_u = rng.integers(0, N_PAD, num_edges - n_struct)
+    dst_u = rng.integers(0, N_PAD, num_edges - n_struct)
+    src = np.concatenate([src_s, src_u])
+    dst = np.concatenate([dst_s, dst_u])
+    w = rng.uniform(0.1, 1.0, num_edges).astype(np.float32)
+    # default min_fill (block//2): the ~56-edges/tile scattered part tails,
+    # the ~675-edges/tile block-diagonal part stays BSR
+    return split_scattered_tail(src, dst, w, N_PAD, BLOCK)
+
+
+@pytest.mark.parametrize("n_dev", [2, 4])
+def test_tail_split_dist_matches_single_chip(rng, n_dev):
+    """TailGraph through the DISTRIBUTED backend (round 4): scattered COO
+    edges partitioned by destination-row shard, cross-shard source rows
+    riding a per-ROW all_to_all. A full loss+grad must equal the verified
+    single-chip tail model — the planted-partition 1M family's tractable
+    form is now trainable distributed (VERDICT r3 item 3)."""
+    tg = _tail_split_graph(rng)
+    assert tg.num_tail_edges > 0 and tg.bsr.nnz_blocks > 0
+    cfg = _config(adpadj="unidirection")
+    mesh = make_mesh(n_dev, axes=("node",))
+    single = build_sparse_atgcn(tg, cfg, interpret=True)
+    dist = build_sparse_atgcn_dist(tg, cfg, mesh, interpret=True)
+    plan = dist.dist_plan
+    assert plan.tail_local_w is not None
+    assert float(plan.tail_remote_w.sum()) > 0  # cross-shard tail edges exist
+    x = jnp.asarray(rng.normal(size=(2, 3, N_PAD, 1)).astype(np.float32))
+    ps = init_with_graph(single, jax.random.PRNGKey(0), x)
+    pd = init_with_graph(dist, jax.random.PRNGKey(0), x)
+    assert set(ps["params"]) == set(pd["params"])
+    pd = {"params": ps["params"], "graph": pd["graph"]}
+    x_sh = jax.device_put(x, NamedSharding(mesh, P(None, None, "node", None)))
+    y = jnp.asarray(np.abs(rng.normal(size=(2, 2, N_PAD, 1))).astype(np.float32))
+    y_sh = jax.device_put(y, NamedSharding(mesh, P(None, None, "node", None)))
+
+    def loss_grads(model, params, xx, yy):
+        def loss_fn(trainable):
+            pred = model.apply({"params": trainable, "graph": params["graph"]},
+                               xx, train=False)
+            return jnp.abs(pred - yy).mean()
+
+        return jax.jit(jax.value_and_grad(loss_fn))(params["params"])
+
+    loss_s, grads_s = loss_grads(single, ps, x, y)
+    loss_d, grads_d = loss_grads(dist, pd, x_sh, y_sh)
+    np.testing.assert_allclose(float(loss_d), float(loss_s), atol=1e-5, rtol=1e-5)
+    for key in grads_s:
+        np.testing.assert_allclose(
+            np.asarray(grads_d[key]), np.asarray(grads_s[key]),
+            atol=5e-4, rtol=5e-3, err_msg="grad mismatch for {}".format(key))
+
+
+def _band_split_graph(rng, num_edges=9000):
+    from multistgraph_tpu.ops.band import split_band
+
+    n_local = int(num_edges * 0.9)
+    src_l = rng.integers(0, N_PAD, n_local)
+    dst_l = np.clip(src_l + rng.integers(-150, 151, n_local), 0, N_PAD - 1)
+    src_u = rng.integers(0, N_PAD, num_edges - n_local)
+    dst_u = rng.integers(0, N_PAD, num_edges - n_local)
+    src = np.concatenate([src_l, src_u])
+    dst = np.concatenate([dst_l, dst_u])
+    w = rng.uniform(0.1, 1.0, num_edges).astype(np.float32)
+    # max_offsets=3 keeps the band radius at 1 block so the neighbor-halo
+    # constraint (radius <= per-shard blocks) holds at 4 shards of this
+    # 8-block toy graph; at real scale per-shard blocks >> radius always
+    return split_band(src, dst, w, N_PAD, BLOCK, max_offsets=3)
+
+
+@pytest.mark.parametrize("n_dev", [2, 4])
+def test_band_dist_matches_single_chip(rng, n_dev):
+    """BandGraph through the DISTRIBUTED backend (round 4): offset diagonals
+    row-sharded with a neighbor-halo ppermute exchange; the COO remainder
+    hub/tail splits exactly as single-chip. Loss + gradients must match."""
+    bg = _band_split_graph(rng)
+    assert len(bg.offsets) > 0 and bg.rest_w.shape[0] > 0
+    cfg = _config(adpadj="none")
+    mesh = make_mesh(n_dev, axes=("node",))
+    single = build_sparse_atgcn(bg, cfg, interpret=True)
+    dist = build_sparse_atgcn_dist(bg, cfg, mesh, interpret=True)
+    plan = dist.dist_plan
+    assert plan.band_values is not None and plan.band_radius >= 1
+    x = jnp.asarray(rng.normal(size=(2, 3, N_PAD, 1)).astype(np.float32))
+    ps = init_with_graph(single, jax.random.PRNGKey(0), x)
+    pd = init_with_graph(dist, jax.random.PRNGKey(0), x)
+    assert set(ps["params"]) == set(pd["params"])
+    pd = {"params": ps["params"], "graph": pd["graph"]}
+    x_sh = jax.device_put(x, NamedSharding(mesh, P(None, None, "node", None)))
+    y = jnp.asarray(np.abs(rng.normal(size=(2, 2, N_PAD, 1))).astype(np.float32))
+    y_sh = jax.device_put(y, NamedSharding(mesh, P(None, None, "node", None)))
+
+    def loss_grads(model, params, xx, yy):
+        def loss_fn(trainable):
+            pred = model.apply({"params": trainable, "graph": params["graph"]},
+                               xx, train=False)
+            return jnp.abs(pred - yy).mean()
+
+        return jax.jit(jax.value_and_grad(loss_fn))(params["params"])
+
+    loss_s, grads_s = loss_grads(single, ps, x, y)
+    loss_d, grads_d = loss_grads(dist, pd, x_sh, y_sh)
+    np.testing.assert_allclose(float(loss_d), float(loss_s), atol=1e-5, rtol=1e-5)
+    for key in grads_s:
+        np.testing.assert_allclose(
+            np.asarray(grads_d[key]), np.asarray(grads_s[key]),
+            atol=5e-4, rtol=5e-3, err_msg="grad mismatch for {}".format(key))
+
+
+def test_band_dist_adaptive_unsupported(rng):
+    bg = _band_split_graph(rng)
+    mesh = make_mesh(2, axes=("node",))
+    with pytest.raises(NotImplementedError, match="band"):
+        build_sparse_atgcn_dist(bg, _config(adpadj="unidirection"), mesh,
+                                interpret=True)
+
+
+def test_partition_rejects_unknown_graph_type():
+    from multistgraph_tpu.ops.spmm_boundary import partition_bsr_boundary
+
+    with pytest.raises(TypeError, match="BandGraph"):
+        partition_bsr_boundary(object(), 2)

@@ -16,6 +16,7 @@ Usage: python tools/bench_large_graph.py [num_nodes] [avg_degree] [T] [B] [split
 """
 
 import argparse
+import functools
 import json
 import os
 import sys
@@ -44,6 +45,12 @@ def main():
     ap.add_argument("--embed-dim", type=int, default=128)
     ap.add_argument("--hidden", type=int, default=64)
     ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument("--adpadj", choices=("unidirection", "none"),
+                    default="unidirection",
+                    help="'none' drops the learned adaptive view — at 1M "
+                    "nodes its sampled tiles + their f32 gradient "
+                    "accumulators are the dominant HBM cost (docs/DESIGN.md "
+                    "§4), so this is the T-at-scale trade knob")
     cli = ap.parse_args()
     num_nodes, avg_degree = cli.num_nodes, cli.avg_degree
     t_steps, batch, split = cli.t_steps, cli.batch, cli.split
@@ -60,7 +67,7 @@ def main():
     cfg = {
         "output_window": 3, "output_dim": 1, "rnn_units": cli.hidden,
         "num_layers": 2, "embed_dim_adj": cli.embed_dim,
-        "adpadj": "unidirection", "node_conditioned": "off",
+        "adpadj": cli.adpadj, "node_conditioned": "off",
         "remat": True,
         "compute_dtype": "bfloat16" if cli.dtype == "bf16" else None,
     }
@@ -76,7 +83,10 @@ def main():
     tx = optax.chain(optax.clip_by_global_norm(5.0), optax.adam(1e-3))
     opt_state = tx.init(params["params"])
 
-    @jax.jit
+    # donate params+opt_state: without donation the updated tree is a SECOND
+    # full allocation (4.1 GB at 1M nodes — the measured difference between
+    # fitting and OOM at T=4, docs/DESIGN.md §4)
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
     def step(params, opt_state, x, y):
         others = {k: v for k, v in params.items() if k != "params"}
 
@@ -144,6 +154,7 @@ def main():
             "dtype": cli.dtype,
             "t_steps": t_steps,
             "batch": batch,
+            "adpadj": cli.adpadj,
             "hidden": cli.hidden,
             "embed_dim_adj": cli.embed_dim,
             "nnz_edges": nnz_edges,
