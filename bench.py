@@ -20,6 +20,7 @@ the measured speedup over running the same seeds sequentially in stderr.
 """
 
 import argparse
+import itertools
 import json
 import os
 import sys
@@ -199,7 +200,13 @@ def _bench_multiseed(S, config, model, executor, train_loader, feature,
     import jax.numpy as jnp
     import numpy as np
 
-    seeds = [0, 10, 100, 1000][:S] + list(range(2, 2 + max(0, S - 4)))
+    # first S DISTINCT seeds from the protocol set then small fillers —
+    # a plain range() would collide with 10/100/1000 at large S and
+    # silently train a seed twice
+    pool = itertools.chain([0, 10, 100, 1000],
+                           (s for s in itertools.count(2)
+                            if s not in (10, 100, 1000)))
+    seeds = list(itertools.islice(pool, S))
     total_len = (
         feature.get("len_closeness", 0) + feature.get("len_period", 0)
         + feature.get("len_trend", 0)

@@ -584,7 +584,21 @@ def build_sparse_atgcn(graph, config, interpret: bool = False) -> SparseATGCN:
                "col": jnp.asarray(graph.col_of), **extra}
     supports = (support,)
     if config.get("adpadj", "none") != "none":
-        adaptive = (jnp.asarray(graph.row_of), jnp.asarray(graph.col_of))
+        row_np, col_np = graph.row_of, graph.col_of
+        # adaptive_max_blocks: cap the adaptive view's sampled pattern to the
+        # K statically-heaviest blocks. At 1M nodes the full-pattern adaptive
+        # tiles + their transpose + the scan-carried gradient accumulator are
+        # ~3x (nnz, 128, 128) — the dominant HBM cost of a training step
+        # (docs/DESIGN.md §4). The static support still covers EVERY edge;
+        # only the learned reweighting concentrates on the heavy blocks
+        # (documented deviation from the reference's dense softmax, which a
+        # dense N^2 adjacency could never reach at this scale anyway).
+        max_blocks = config.get("adaptive_max_blocks", 0)
+        if max_blocks and graph.values.shape[0] > max_blocks:
+            mass = _np.abs(graph.values).sum(axis=(1, 2))
+            keep = _np.sort(_np.argpartition(-mass, max_blocks)[:max_blocks])
+            row_np, col_np = row_np[keep], col_np[keep]
+        adaptive = (jnp.asarray(row_np), jnp.asarray(col_np))
     return SparseATGCN(
         num_nodes=graph.padded_nodes,
         output_window=config.get("output_window", 1),

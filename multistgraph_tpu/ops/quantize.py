@@ -14,9 +14,11 @@ quantization is nearly-free latency/footprint headroom:
 
 Activations are NOT quantized: the model's gates/tanh run f32 regardless
 (see models/multi_atgcn.py compute_dtype), and weight-only preserves the
-evaluator metrics to well under a percent (tests/test_serving_quantized.py
-asserts the bound). No reference counterpart (torch CPU serving path does
-not exist; SURVEY §2).
+served predictions to well under a percent relative error
+(tests/test_serving_quantized.py asserts the bound). Wired into
+serving.PredictService(quantize='int8'|'bfloat16') and the serve_model.py
+--quantize flag. No reference counterpart (torch CPU serving path does not
+exist; SURVEY §2).
 """
 
 from typing import Any, Dict, Tuple

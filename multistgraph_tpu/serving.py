@@ -41,8 +41,21 @@ class PredictService:
     """Wraps a trained model + scaler into a padded, bucketed predict call."""
 
     def __init__(self, model, params, scaler, max_batch: int = 64,
-                 ct_visit_mstd=None, clip_negative: bool = True):
+                 ct_visit_mstd=None, clip_negative: bool = True,
+                 quantize: str = None):
+        """quantize: None | 'int8' | 'bfloat16' — weight-only quantization of
+        the trainable parameters (ops/quantize.py). Weights are STORED
+        quantized and dequantized inside the jitted predict program, so the
+        HBM parameter stream shrinks 4x/2x; graph arrays and activations are
+        untouched. tests/test_serving_quantized.py asserts the accuracy
+        bound; measured latency delta in docs/DESIGN.md §9."""
         self.model = model
+        self.quantize = quantize
+        if quantize:
+            from multistgraph_tpu.ops.quantize import quantize_params
+
+            params = dict(params)
+            params["params"] = quantize_params(params["params"], mode=quantize)
         self.params = params
         self.scaler = scaler
         self.max_batch = max_batch
@@ -61,7 +74,8 @@ class PredictService:
     # -------------------------------------------------------------- factory
     @classmethod
     def from_experiment(cls, task, model_name, dataset_name, config_file=None,
-                        other_args=None, max_batch: int = 64):
+                        other_args=None, max_batch: int = 64,
+                        quantize: str = None):
         """Rebuild the experiment's model and load its trained weights from
         the standard cache location (outputs/<exp_id>/model_cache/...m)."""
         from multistgraph_tpu.config import load_config
@@ -86,7 +100,8 @@ class PredictService:
         return cls(model, executor.params, feature.get("scaler"),
                    max_batch=max_batch,
                    ct_visit_mstd=feature.get("ct_visit_mstd")
-                   if config.get("groupstd", False) else None)
+                   if config.get("groupstd", False) else None,
+                   quantize=quantize)
 
     # -------------------------------------------------------------- predict
     def _bucket(self, n: int) -> int:
@@ -99,8 +114,19 @@ class PredictService:
         with self._lock:
             fn = self._compiled.get(bucket)
             if fn is None:
-                fn = jax.jit(
-                    lambda params, x: self.model.apply(params, x, train=False))
+                if self.quantize:
+                    from multistgraph_tpu.ops.quantize import dequantize_params
+
+                    def apply(params, x):
+                        # dequant INSIDE the jit: the HBM read stays int8/
+                        # bf16 and the convert fuses into the consumers
+                        full = {**params,
+                                "params": dequantize_params(params["params"])}
+                        return self.model.apply(full, x, train=False)
+                else:
+                    def apply(params, x):
+                        return self.model.apply(params, x, train=False)
+                fn = jax.jit(apply)
                 self._compiled[bucket] = fn
         return fn
 
@@ -135,12 +161,16 @@ class PredictService:
         return out
 
     def stats(self) -> dict:
+        from multistgraph_tpu.ops.quantize import quantized_nbytes
+
         return {
             "requests_served": self.requests_served,
             "compiled_buckets": sorted(self._compiled),
             "max_batch": self.max_batch,
             "device": jax.devices()[0].platform,
             "group_destandardize": self._group_mstd is not None,
+            "quantize": self.quantize,
+            "param_bytes": quantized_nbytes(self.params.get("params", {})),
         }
 
 

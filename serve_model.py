@@ -27,14 +27,20 @@ if __name__ == "__main__":
     parser.add_argument("--port", type=int, default=8800)
     parser.add_argument("--host", type=str, default="0.0.0.0")
     parser.add_argument("--max_serve_batch", type=int, default=64)
+    parser.add_argument("--quantize", choices=("int8", "bfloat16"),
+                        default=None,
+                        help="weight-only quantization: store parameters "
+                        "int8 (4x smaller HBM stream) or bfloat16 (2x); "
+                        "dequantized inside the predict program")
     add_general_args(parser)
     args = parser.parse_args()
 
     other_args = collect_other_args(
-        args, exclude=("port", "host", "max_serve_batch"))
+        args, exclude=("port", "host", "max_serve_batch", "quantize"))
 
     service = PredictService.from_experiment(
         args.task, args.model, args.dataset, args.config_file,
         other_args=other_args, max_batch=args.max_serve_batch,
+        quantize=args.quantize,
     )
     serve(service, port=args.port, host=args.host)

@@ -259,3 +259,46 @@ def test_bf16_compute_dtype_trains_close_to_f32(rng):
     n1 = float(jax.tree_util.tree_reduce(
         lambda a, b: a + jnp.abs(b).sum(), g16, jnp.float32(0)))
     assert np.isfinite(n1) and n1 > 0
+
+
+def test_adaptive_max_blocks_subsamples_pattern(rng):
+    """adaptive_max_blocks caps the adaptive pattern to the K heaviest
+    blocks (the 1M-scale HBM knob); K >= nnz leaves the pattern untouched,
+    and the capped model still trains (finite loss + grads)."""
+    n_pad = 512
+    dense = (rng.uniform(size=(n_pad, n_pad)) < 0.2).astype(np.float32) \
+        * rng.normal(size=(n_pad, n_pad)).astype(np.float32)
+    graph = bsr.bsr_from_dense(dense, block=128)
+    cfg = {"output_window": 2, "output_dim": 1, "rnn_units": 8,
+           "num_layers": 1, "embed_dim_adj": 4, "adpadj": "unidirection"}
+    full = build_sparse_atgcn(graph, dict(cfg), interpret=True)
+    assert full.adaptive_pattern[0].shape[0] == graph.nnz_blocks
+
+    k = graph.nnz_blocks // 2
+    capped = build_sparse_atgcn(graph, dict(cfg, adaptive_max_blocks=k),
+                                interpret=True)
+    rows, cols = (np.asarray(a) for a in capped.adaptive_pattern)
+    assert rows.shape[0] == k
+    # capped pattern is a subset of the full pattern, still row-major sorted
+    full_set = set(zip(np.asarray(graph.row_of), np.asarray(graph.col_of)))
+    assert set(zip(rows, cols)) <= full_set
+    assert all((rows[i], cols[i]) <= (rows[i + 1], cols[i + 1])
+               for i in range(len(rows) - 1))
+    # K >= nnz: untouched
+    uncapped = build_sparse_atgcn(
+        graph, dict(cfg, adaptive_max_blocks=graph.nnz_blocks + 5),
+        interpret=True)
+    assert uncapped.adaptive_pattern[0].shape[0] == graph.nnz_blocks
+
+    x = jnp.asarray(rng.normal(size=(2, 3, n_pad, 1)).astype(np.float32))
+    y = jnp.asarray(rng.normal(size=(2, 2, n_pad, 1)).astype(np.float32))
+    params = init_with_graph(capped, jax.random.PRNGKey(0), x)
+
+    def loss_fn(trainable):
+        pred = capped.apply({"params": trainable,
+                             "graph": params["graph"]}, x, train=False)
+        return jnp.abs(pred - y).mean()
+
+    loss, grads = jax.jit(jax.value_and_grad(loss_fn))(params["params"])
+    assert np.isfinite(float(loss))
+    assert float(jnp.abs(grads["node_vec1"]).sum()) > 0

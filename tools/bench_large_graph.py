@@ -45,6 +45,10 @@ def main():
     ap.add_argument("--embed-dim", type=int, default=128)
     ap.add_argument("--hidden", type=int, default=64)
     ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument("--adaptive-max-blocks", type=int, default=0,
+                    help="cap the adaptive view's sampled pattern to the K "
+                    "statically-heaviest blocks (0 = full pattern); the "
+                    "HBM knob that fits adaptive training at 1M nodes")
     ap.add_argument("--adpadj", choices=("unidirection", "none"),
                     default="unidirection",
                     help="'none' drops the learned adaptive view — at 1M "
@@ -68,6 +72,7 @@ def main():
         "output_window": 3, "output_dim": 1, "rnn_units": cli.hidden,
         "num_layers": 2, "embed_dim_adj": cli.embed_dim,
         "adpadj": cli.adpadj, "node_conditioned": "off",
+        "adaptive_max_blocks": cli.adaptive_max_blocks,
         "remat": True,
         "compute_dtype": "bfloat16" if cli.dtype == "bf16" else None,
     }
@@ -155,6 +160,7 @@ def main():
             "t_steps": t_steps,
             "batch": batch,
             "adpadj": cli.adpadj,
+            "adaptive_max_blocks": cli.adaptive_max_blocks,
             "hidden": cli.hidden,
             "embed_dim_adj": cli.embed_dim,
             "nnz_edges": nnz_edges,

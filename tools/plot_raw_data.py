@@ -101,7 +101,9 @@ def plot_weekly(series, timestamps, out):
     if timestamps is not None:
         ts = np.asarray(timestamps).astype("datetime64[h]")
         hour = (ts.astype("datetime64[h]") - ts.astype("datetime64[D]")).astype(int)
-        dow = ((ts.astype("datetime64[D]").view("int64") + 4) % 7).astype(int)
+        # epoch day 0 (1970-01-01) is a THURSDAY: +3 maps Monday -> slot 0,
+        # matching the 'Mon 0h .. Sun 23h' axis and the fallback branch
+        dow = ((ts.astype("datetime64[D]").view("int64") + 3) % 7).astype(int)
     else:  # hourly series starting Monday 00:00
         hour = np.arange(t) % 24
         dow = (np.arange(t) // 24) % 7
