@@ -90,6 +90,33 @@ def main():
         per_iter, _totals = slope_time(make_fn, trips=(4, 8, 16))
         results["device_ms_b{}".format(b)] = round(per_iter * 1e3, 2)
 
+    # weight-only quantized predict (the serving path's quantize option,
+    # ops/quantize.py): device latency + stored parameter bytes vs f32
+    from multistgraph_tpu.ops.quantize import (
+        dequantize_params, quantize_params, quantized_nbytes)
+
+    results["param_bytes_f32"] = quantized_nbytes(executor.params["params"])
+    for mode in ("bfloat16", "int8"):
+        qparams = {**executor.params,
+                   "params": quantize_params(executor.params["params"], mode)}
+        results["param_bytes_{}".format(mode)] = quantized_nbytes(
+            qparams["params"])
+        x16 = test_loader.x[:16]
+
+        def make_qfn(k, xx=x16, qp=qparams):
+            @functools.partial(_jax.jit, static_argnums=1)
+            def fn(xa, kk):
+                def body(i, c):
+                    full = {**qp, "params": dequantize_params(qp["params"])}
+                    out = executor.model.apply(
+                        full, xa.at[0, 0, 0, 0].add(c * 1e-12), train=False)
+                    return c + jnp.sum(out, dtype=jnp.float32) * 1e-12
+                return _jax.lax.fori_loop(0, kk, body, jnp.float32(0.0))
+            return lambda: fn(xx, k)
+
+        per_iter, _ = slope_time(make_qfn, trips=(4, 8, 16))
+        results["device_ms_b16_{}".format(mode)] = round(per_iter * 1e3, 2)
+
     # sustained: whole test set in one scan program
     perm = jnp.asarray(test_loader.ordered_permutation())
     t0 = time.time()

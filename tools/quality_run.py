@@ -22,6 +22,7 @@ Usage:
 
 import argparse
 import datetime
+import json
 import os
 import sys
 import time
@@ -67,11 +68,40 @@ MODEL_VARIANTS = {
     "FNN": ("FNN", {"use_3tu": False}),
     "Seq2Seq": ("Seq2Seq", {"use_3tu": False}),
 }
-# the rest of the comparison-set zoo runs with its shipped defaults
-# (use_3tu=False, Point dataset bindings come from TASK_CONFIG)
+# Per-model training recipes from the reference's own protocol
+# (Implementation details.pdf p.1-2): the reference does NOT train every
+# baseline with the MultiATGCN recipe — documented learning rates range
+# 1e-4 (ASTGCN) to 1e-2 (RNN family, DCRNN, STGODE). Models whose PDF entry
+# documents no optimizer (GWNET, MTGNN, MSTGCN, STTN) keep the uniform
+# flagship recipe. TGCN and STSGCN are ABSENT from the PDF entirely; their
+# original papers' Adam lr 1e-3 applies (T-GCN, Zhao et al. 2019 §IV;
+# STSGCN, Song et al. AAAI 2020 §4.1) — at the uniform 3e-3 both trained to
+# anomalous results (TGCN worse than persistence; round-3 table + VERDICT).
+_RNN_RECIPE = {"learning_rate": 0.01, "lr_decay_ratio": 0.1,
+               "steps": [5, 20, 40]}
+_RECIPES = {
+    "RNN": _RNN_RECIPE, "GRU": _RNN_RECIPE, "LSTM": _RNN_RECIPE,
+    "Seq2Seq": _RNN_RECIPE,
+    "STGCN": {"learning_rate": 0.001, "lr_scheduler": "steplr",
+              "step_size": 5, "lr_decay_ratio": 0.7},
+    "DCRNN": dict(_RNN_RECIPE),
+    "ASTGCN": {"learning_rate": 0.0001, "lr_decay": False},
+    "AGCRN": {"learning_rate": 0.003, "lr_decay_ratio": 0.75,
+              "steps": [5, 15, 30, 40]},
+    "GMAN": {"learning_rate": 0.001, "lr_scheduler": "reducelronplateau",
+             "lr_decay_ratio": 0.7, "lr_patience": 5},
+    "STGODE": {"learning_rate": 0.01, "lr_decay": False},
+    "STGNCDE": {"learning_rate": 0.001, "weight_decay": 0.001,
+                "lr_decay": False},
+    "TGCN": {"learning_rate": 0.001},
+    "STSGCN": {"learning_rate": 0.001},
+}
 for _name in ("AGCRN", "TGCN", "STGCN", "GWNET", "DCRNN", "ASTGCN", "MSTGCN",
               "MTGNN", "STSGCN", "STTN", "GMAN", "STGODE", "STGNCDE"):
-    MODEL_VARIANTS[_name] = (_name, {})
+    MODEL_VARIANTS[_name] = (_name, dict(_RECIPES.get(_name, {})))
+for _name, _recipe in _RECIPES.items():
+    if _name in ("RNN", "GRU", "LSTM", "Seq2Seq"):
+        MODEL_VARIANTS[_name][1].update(_recipe)
 
 
 def _base_args(shape, bench_root, max_epoch):
@@ -173,7 +203,23 @@ def main():
     ap.add_argument("--out", default=None,
                     help="results doc name (default RESULTS_<ds>); lets a "
                          "zoo sweep land beside, not over, the main table")
+    ap.add_argument("--override", default=None,
+                    help="comma-separated config overrides applied to every "
+                    "model in this run, e.g. learning_rate=0.001,rnn_units="
+                    "100 — for default-diagnosis sweeps (VERDICT r3 item 6)")
+    ap.add_argument("--label-suffix", default="",
+                    help="appended to each model label so override runs "
+                    "land in distinct rows/exp_ids (e.g. '-lr1e3')")
     args = ap.parse_args()
+
+    cli_overrides = {}
+    if args.override:
+        for kv in args.override.split(","):
+            k, v = kv.split("=", 1)
+            try:
+                cli_overrides[k] = json.loads(v)
+            except ValueError:
+                cli_overrides[k] = v
 
     shape = dict(SHAPES[args.shape])
     len_time = args.len_time or 24 * 151
@@ -195,9 +241,11 @@ def main():
     failures = []
     for label in args.models.split(","):
         model_name, overrides = MODEL_VARIANTS[label]
+        label = label + args.label_suffix
         for seed in seeds:
             run_args = _base_args(shape, bench_root, args.max_epoch)
             run_args.update(overrides)
+            run_args.update(cli_overrides)
             run_args["exp_id"] = "q_{}_{}_s{}".format(ds_name, label, seed)
             run_args["seed"] = seed
             run_dir = os.path.join(bench_root, "outputs", run_args["exp_id"])
