@@ -129,26 +129,40 @@ def split_band(
     )
 
 
-def _band_slices(xp, offs, radius):
-    """(O, n_blocks, b, F) stack of the offset-shifted views of padded X.
+# Peak bytes allowed for the (O, n_blocks, b, Fc) stacked intermediate.
+# ONE stacked einsum over all diagonals is the form XLA compiles well (the
+# per-offset-sum loop compiles pathologically in the full-model context —
+# ~10 min at 49k nodes, re-measured round 4 even WITH the custom VJP); but
+# at 1M nodes with the T-hoisted feature width the full stack is 4.8-9.5 GB.
+# Chunking the FEATURE axis keeps the stacked structure (compile-friendly)
+# at a bounded footprint: chunks are independent columns, so the forward
+# concatenates and the backward's shifted adds never overlap across chunks.
+_STACK_BYTE_CAP = 1 << 30
 
-    ONE einsum over all diagonals (the offset-shifted x views stack into a
-    leading O axis): same math as summing one batched dot per offset, but
-    a single HLO dot — XLA compiles the per-offset sum formulation
-    pathologically inside remat'd model scans (>20 min at 49k nodes;
-    measured round 3), while this form compiles in seconds."""
-    import jax.numpy as jnp
 
-    n_blocks = xp.shape[0] - 2 * radius
-    return jnp.stack([xp[radius + o : radius + o + n_blocks] for o in offs])
+def _chunk_width(n_offs, n_blocks, block, feat, itemsize):
+    per_col = n_offs * n_blocks * block * itemsize
+    fc = max(int(_STACK_BYTE_CAP // max(per_col, 1)), 1)
+    if fc >= feat:
+        return feat
+    return max((fc // 128) * 128, min(feat, 128))
 
 
 def _band_apply(band_values, xp, offs, radius):
     import jax.numpy as jnp
 
-    xs = _band_slices(xp, offs, radius)
-    return jnp.einsum("orij,orjf->rif", band_values.astype(xp.dtype), xs,
-                      preferred_element_type=jnp.float32).astype(xp.dtype)
+    n_blocks = xp.shape[0] - 2 * radius
+    feat = xp.shape[-1]
+    v = band_values.astype(xp.dtype)
+    fc = _chunk_width(len(offs), n_blocks, xp.shape[1], feat, xp.dtype.itemsize)
+    outs = []
+    for lo in range(0, feat, fc):
+        xs = jnp.stack([xp[radius + o : radius + o + n_blocks, :, lo:lo + fc]
+                        for o in offs])
+        outs.append(jnp.einsum("orij,orjf->rif", v, xs,
+                               preferred_element_type=jnp.float32))
+    y = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=-1)
+    return y.astype(xp.dtype)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
@@ -161,25 +175,35 @@ def _band_fwd(band_values, xp, offs, radius):
 
 
 def _band_bwd(offs, radius, res, dy):
-    """Hand-written band-algebra backward (docstring above):
-    dV_o[r] = dY[r] X[r+o]^T and dX[r+o] += V_o[r]^T dY[r] as O static
-    shifted adds into the padded buffer — hides autodiff's pathological
+    """Hand-written band-algebra backward (module docstring):
+    dV_o[r] = dY[r] X[r+o]^T (sampled outer-product einsum over the same
+    stacked x-slices as the forward, summed over feature chunks) and
+    dX[r+o] += V_o[r]^T dY[r] (O static shifted adds into the padded
+    buffer, chunked along features). Hides autodiff's pathological
     overlapping pad-and-add chain from XLA entirely."""
     import jax.numpy as jnp
 
     band_values, xp = res
     n_blocks = xp.shape[0] - 2 * radius
+    feat = xp.shape[-1]
     dyc = dy.astype(xp.dtype)
-    xs = _band_slices(xp, offs, radius)
-    dv = jnp.einsum("rif,orjf->orij", dyc, xs,
-                    preferred_element_type=jnp.float32
-                    ).astype(band_values.dtype)
-    contrib = jnp.einsum("orij,rif->orjf", band_values.astype(xp.dtype), dyc,
-                         preferred_element_type=jnp.float32)
+    v = band_values.astype(xp.dtype)
+    fc = _chunk_width(len(offs), n_blocks, xp.shape[1], feat, xp.dtype.itemsize)
+    dv = None
     dxp = jnp.zeros(xp.shape, jnp.float32)
-    for i, o in enumerate(offs):
-        dxp = dxp.at[radius + o : radius + o + n_blocks].add(contrib[i])
-    return dv, dxp.astype(xp.dtype)
+    for lo in range(0, feat, fc):
+        dy_c = dyc[:, :, lo:lo + fc]
+        xs = jnp.stack([xp[radius + o : radius + o + n_blocks, :, lo:lo + fc]
+                        for o in offs])
+        dv_c = jnp.einsum("rif,orjf->orij", dy_c, xs,
+                          preferred_element_type=jnp.float32)
+        dv = dv_c if dv is None else dv + dv_c
+        contrib = jnp.einsum("orij,rif->orjf", v, dy_c,
+                             preferred_element_type=jnp.float32)
+        for i, o in enumerate(offs):
+            dxp = dxp.at[radius + o : radius + o + n_blocks,
+                         :, lo:lo + fc].add(contrib[i])
+    return dv.astype(band_values.dtype), dxp.astype(xp.dtype)
 
 
 _band_vjp.defvjp(_band_fwd, _band_bwd)
