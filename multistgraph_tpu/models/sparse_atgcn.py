@@ -36,6 +36,7 @@ from multistgraph_tpu.ops.spmm import (
     spmm_pret,
 )
 from multistgraph_tpu.ops.spmm_boundary import (
+    boundary_adaptive_band_values,
     boundary_adaptive_values,
     boundary_aggregate,
 )
@@ -244,6 +245,15 @@ class SparseATGCN(nn.Module):
     def _adaptive_values(self):
         e1, e2 = self._cast(self._e1), self._cast(self._e2)
         if self.distributed:
+            if self.dist_plan.band_values is not None:
+                vals, background = boundary_adaptive_band_values(
+                    e1, e2, self.dist_mesh, axis=self.dist_axis,
+                    block=self.block,
+                    band_offsets=self.dist_plan.band_offsets,
+                    dense_corrected=self.adaptive_softmax == "dense_corrected",
+                    num_nodes=self.num_nodes,
+                )
+                return ("band", vals, background)
             return boundary_adaptive_values(
                 self._bnd_arrays(), e1, e2, self.dist_mesh,
                 axis=self.dist_axis, block=self.block, interpret=self.interpret,
@@ -293,11 +303,15 @@ class SparseATGCN(nn.Module):
     def _aggregate(self, x_flat, adaptive, support_prets=None, adaptive_pret=None):
         """x_flat (N_pad, F) -> (K, N_pad, F): identity + each support applied."""
         if self.distributed:
+            band_adp = None
+            if adaptive is not None and isinstance(adaptive[0], str):
+                band_adp, adaptive = (adaptive[1], adaptive[2]), None
             return boundary_aggregate(
                 self._bnd_arrays(), x_flat, self.dist_mesh, axis=self.dist_axis,
                 block=self.block, adaptive_values=adaptive, interpret=self.interpret,
                 band_offsets=self.dist_plan.band_offsets,
                 band_radius=self.dist_plan.band_radius,
+                adaptive_band=band_adp,
             )
         if support_prets is None:
             support_prets = [None] * len(self._support_vars)
@@ -459,30 +473,20 @@ def build_sparse_atgcn_dist(
     HybridGraph (hub columns row-sharded + psum-gathered), TailGraph
     (scattered COO edges ride a per-row all_to_all), and BandGraph (offset
     diagonals become a row-sharded stencil with neighbor-halo ppermutes;
-    the COO remainder is hub/tail split — ops/spmm_boundary.py, round 4).
+    the COO remainder is hub/tail split; the adaptive view is scored
+    shard-locally at the band pattern — ops/spmm_boundary.py, round 4).
 
     Parameter tree is identical to build_sparse_atgcn's for the same config,
     so checkpoints move freely between the single- and multi-chip backends.
     """
-    from multistgraph_tpu.ops.band import BandGraph
     from multistgraph_tpu.ops.hybrid import HybridGraph, TailGraph
     from multistgraph_tpu.ops.spmm_boundary import partition_bsr_boundary
 
     plan = partition_bsr_boundary(graph, mesh.shape[axis])
     adaptive = config.get("adpadj", "none") != "none"
-    if isinstance(graph, BandGraph):
-        if adaptive:
-            raise NotImplementedError(
-                "the distributed band backend supports static supports only "
-                "— the single-chip band path samples the adaptive view on "
-                "the band block pattern, which has no boundary-sharded "
-                "SDDMM yet; train the band form single-chip or use the hub "
-                "split for distributed adaptive training")
-        padded, block = graph.padded_nodes, graph.block
-    else:
-        if isinstance(graph, (HybridGraph, TailGraph)):
-            graph = graph.bsr  # remainder is the BSR core
-        padded, block = graph.padded_nodes, graph.block
+    if isinstance(graph, (HybridGraph, TailGraph)):
+        graph = graph.bsr  # remainder is the BSR core
+    padded, block = graph.padded_nodes, graph.block
     return SparseATGCN(
         num_nodes=padded,
         output_window=config.get("output_window", 1),

@@ -437,6 +437,73 @@ def boundary_adaptive_values(
     return vals_l, vals_r, (background if dense_corrected else None)
 
 
+def boundary_adaptive_band_values(
+    e1: jnp.ndarray,
+    e2: jnp.ndarray,
+    mesh: Mesh,
+    axis: str = "node",
+    block: int = 128,
+    band_offsets: Tuple[int, ...] = (),
+    dense_corrected: bool = False,
+    num_nodes: int = 0,
+):
+    """Adaptive-view weights sampled at the BAND's diagonal pattern,
+    computed shard-locally (round 4).
+
+    E1/E2 are replicated parameters, so every shard can score its own
+    diagonal tiles with ZERO communication: score_o[r] =
+    relu(E1[rows of r] @ E2[:, cols of r+o]), masked to in-range diagonals,
+    then the masked row softmax (rows never straddle shards). Returns
+    (S, O, per, b, b) values sharded over `axis` (+ the (S, per*b)
+    rank-1 background when dense_corrected), consumable by the band leg of
+    boundary_aggregate. Differentiable w.r.t. E1/E2 (shard_map's transpose
+    inserts the psum for the replicated inputs)."""
+    S = mesh.shape[axis]
+    offs = tuple(int(o) for o in band_offsets)
+    n_total_blocks = e1.shape[0] // block
+    per = n_total_blocks // S
+    radius = max((abs(o) for o in offs), default=0)
+
+    def shard_fn(e1, e2):
+        my = jax.lax.axis_index(axis)
+        d = e1.shape[1]
+        e1b = e1.reshape(n_total_blocks, block, d)
+        e1_loc = jax.lax.dynamic_slice_in_dim(e1b, my * per, per, axis=0)
+        # zero-pad E2's block axis by radius so offset slices stay in range
+        e2b = e2.reshape(d, n_total_blocks, block)
+        e2p = jnp.pad(e2b, ((0, 0), (radius, radius), (0, 0)))
+        scores = []
+        for o in offs:
+            e2s = jax.lax.dynamic_slice_in_dim(
+                e2p, my * per + o + radius, per, axis=1)  # (d, per, b)
+            scores.append(jnp.einsum("rid,drj->rij", e1_loc, e2s,
+                                     preferred_element_type=jnp.float32))
+        raw = jnp.stack(scores)  # (O, per, b, b)
+        # validity: global col block 0 <= my*per + r + o < n_total_blocks
+        r_idx = jnp.arange(per)
+        valid = jnp.stack([
+            (my * per + r_idx + o >= 0) & (my * per + r_idx + o < n_total_blocks)
+            for o in offs])  # (O, per)
+        f = jnp.expm1 if dense_corrected else jnp.exp
+        exp = jnp.where((raw > 0) & valid[:, :, None, None], f(raw), 0.0)
+        totals = exp.sum(axis=(0, 3))  # (per, b) row sums over offsets+cols
+        if dense_corrected:
+            z = num_nodes + totals
+            vals = exp / z[None, :, :, None]
+            return vals[None], (1.0 / z).reshape(1, -1)
+        vals = exp / jnp.maximum(totals, 1e-9)[None, :, :, None]
+        return vals[None], jnp.zeros((1, per * block), e1.dtype)
+
+    fn = jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(None, None), P(None, None)),
+        out_specs=(P(axis), P(axis)),
+        check_vma=False,
+    )
+    vals, background = fn(e1, e2)
+    return vals, (background if dense_corrected else None)
+
+
 def boundary_aggregate(
     arrs: Dict[str, jnp.ndarray],
     x: jnp.ndarray,
@@ -447,6 +514,7 @@ def boundary_aggregate(
     interpret: bool = False,
     band_offsets: Optional[Tuple[int, ...]] = None,
     band_radius: int = 0,
+    adaptive_band: Optional[Tuple[jnp.ndarray, Optional[jnp.ndarray]]] = None,
 ):
     """(K, N_pad, F) stack [identity, static support, adaptive?] @ X with ONE
     boundary feature exchange shared by every view.
@@ -465,6 +533,7 @@ def boundary_aggregate(
     max_send = arrs["send_idx"].shape[-1]
     has_adaptive = adaptive_values is not None
     has_background = has_adaptive and adaptive_values[2] is not None
+    has_band_adp = adaptive_band is not None
 
     def shard_fn(arrs, x_shard, *opt):
         a = {k: v[0] for k, v in arrs.items()}
@@ -539,13 +608,29 @@ def boundary_aggregate(
                                band_offsets, band_radius)
             y_static = y_static + y_band.reshape(per * block, feat).astype(
                 y_static.dtype)
+            band_opt = opt[n_bsr_opt:]
+            if band_opt:
+                # adaptive view sampled at the band pattern (round 4):
+                # same halo'd xp, values from boundary_adaptive_band_values
+                # (differentiable w.r.t. the values through the custom VJP)
+                y_adp = _band_vjp(band_opt[0][0].astype(xp.dtype), xp,
+                                  band_offsets, band_radius
+                                  ).reshape(per * block, feat)
+                if len(band_opt) == 2:  # dense-corrected rank-1 background
+                    colsum = jax.lax.psum(
+                        x_shard.sum(axis=0, keepdims=True), axis)
+                    y_adp = y_adp + band_opt[1][0][:, None] * colsum
+                y_band_adaptive = y_adp
         outs = [x_shard, y_static]
-        if opt:
-            y = dual_spmm(opt[0][0], opt[1][0])
-            if len(opt) == 3:
+        bsr_opt = opt[:n_bsr_opt]
+        if bsr_opt:
+            y = dual_spmm(bsr_opt[0][0], bsr_opt[1][0])
+            if len(bsr_opt) == 3:
                 colsum = jax.lax.psum(x_shard.sum(axis=0, keepdims=True), axis)
-                y = y + opt[2][0][:, None] * colsum
+                y = y + bsr_opt[2][0][:, None] * colsum
             outs.append(y)
+        if has_band_adp:
+            outs.append(y_band_adaptive.astype(x_shard.dtype))
         return jnp.stack(outs, axis=0)
 
     extra = ()
@@ -555,6 +640,13 @@ def boundary_aggregate(
         extra_specs = (P(axis), P(axis))
         if has_background:
             extra = extra + (adaptive_values[2],)
+            extra_specs = extra_specs + (P(axis),)
+    n_bsr_opt = len(extra)
+    if has_band_adp:
+        extra = extra + (adaptive_band[0],)
+        extra_specs = extra_specs + (P(axis),)
+        if adaptive_band[1] is not None:
+            extra = extra + (adaptive_band[1],)
             extra_specs = extra_specs + (P(axis),)
     fn = jax.shard_map(
         shard_fn,

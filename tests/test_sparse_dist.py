@@ -294,12 +294,43 @@ def test_band_dist_matches_single_chip(rng, n_dev):
             atol=5e-4, rtol=5e-3, err_msg="grad mismatch for {}".format(key))
 
 
-def test_band_dist_adaptive_unsupported(rng):
+@pytest.mark.parametrize("softmax", ["sampled", "dense_corrected"])
+def test_band_dist_adaptive_matches_single_chip(rng, softmax):
+    """Adaptive view at the band pattern, distributed (round 4): scored
+    shard-locally from the replicated E1/E2 (zero communication), applied
+    through the same halo'd band custom VJP. Loss + gradients — including
+    node_vec1/2 through the shard_map transpose psum — must equal the
+    single-chip band model for both softmax semantics."""
     bg = _band_split_graph(rng)
-    mesh = make_mesh(2, axes=("node",))
-    with pytest.raises(NotImplementedError, match="band"):
-        build_sparse_atgcn_dist(bg, _config(adpadj="unidirection"), mesh,
-                                interpret=True)
+    cfg = _config(adpadj="unidirection", adaptive_softmax=softmax)
+    mesh = make_mesh(4, axes=("node",))
+    single = build_sparse_atgcn(bg, cfg, interpret=True)
+    dist = build_sparse_atgcn_dist(bg, cfg, mesh, interpret=True)
+    x = jnp.asarray(rng.normal(size=(2, 3, N_PAD, 1)).astype(np.float32))
+    ps = init_with_graph(single, jax.random.PRNGKey(0), x)
+    pd = init_with_graph(dist, jax.random.PRNGKey(0), x)
+    assert set(ps["params"]) == set(pd["params"])
+    pd = {"params": ps["params"], "graph": pd["graph"]}
+    x_sh = jax.device_put(x, NamedSharding(mesh, P(None, None, "node", None)))
+    y = jnp.asarray(np.abs(rng.normal(size=(2, 2, N_PAD, 1))).astype(np.float32))
+    y_sh = jax.device_put(y, NamedSharding(mesh, P(None, None, "node", None)))
+
+    def loss_grads(model, params, xx, yy):
+        def loss_fn(trainable):
+            pred = model.apply({"params": trainable, "graph": params["graph"]},
+                               xx, train=False)
+            return jnp.abs(pred - yy).mean()
+
+        return jax.jit(jax.value_and_grad(loss_fn))(params["params"])
+
+    loss_s, grads_s = loss_grads(single, ps, x, y)
+    loss_d, grads_d = loss_grads(dist, pd, x_sh, y_sh)
+    np.testing.assert_allclose(float(loss_d), float(loss_s), atol=1e-5, rtol=1e-5)
+    for key in grads_s:
+        np.testing.assert_allclose(
+            np.asarray(grads_d[key]), np.asarray(grads_s[key]),
+            atol=5e-4, rtol=5e-3, err_msg="grad mismatch for {}".format(key))
+    assert np.abs(np.asarray(grads_d["node_vec1"])).sum() > 0
 
 
 def test_partition_rejects_unknown_graph_type():
