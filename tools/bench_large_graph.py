@@ -45,6 +45,15 @@ def main():
     ap.add_argument("--embed-dim", type=int, default=128)
     ap.add_argument("--hidden", type=int, default=64)
     ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument("--interpret", action="store_true",
+                    help="Pallas interpreter mode (CPU smoke runs only)")
+    ap.add_argument("--family", choices=("spatial", "planted"),
+                    default="spatial",
+                    help="planted: scrambled planted-partition edges "
+                    "(tools/bench_reorder._planted_edges), community-"
+                    "reordered then hybrid-split per `split` — the 1M "
+                    "family whose only tractable form is community+tail "
+                    "(docs/DESIGN.md §4)")
     ap.add_argument("--adaptive-max-blocks", type=int, default=0,
                     help="cap the adaptive view's sampled pattern to the K "
                     "statically-heaviest blocks (0 = full pattern); the "
@@ -59,11 +68,33 @@ def main():
     num_nodes, avg_degree = cli.num_nodes, cli.avg_degree
     t_steps, batch, split = cli.t_steps, cli.batch, cli.split
 
-    print("building graph N={} deg={} split={} dtype={} ...".format(
-        num_nodes, avg_degree, split, cli.dtype), file=sys.stderr)
-    graph, _ = bsr.random_spatial_graph(
-        num_nodes, avg_degree, seed=0,
-        split=None if split == "none" else split)
+    print("building graph N={} deg={} family={} split={} dtype={} ...".format(
+        num_nodes, avg_degree, cli.family, split, cli.dtype), file=sys.stderr)
+    if cli.family == "planted":
+        from tools.bench_reorder import _planted_edges
+
+        src, dst, w = _planted_edges(num_nodes, avg_degree)
+        perm = bsr.community_order(src, dst, num_nodes)
+        inv = np.empty(num_nodes, np.int64)
+        inv[perm] = np.arange(num_nodes)
+        src, dst = inv[src], inv[dst]
+        if split == "tail":
+            from multistgraph_tpu.ops.hybrid import split_scattered_tail
+
+            graph = split_scattered_tail(src, dst, w, num_nodes)
+        elif split == "hub":
+            from multistgraph_tpu.ops.hybrid import split_hub_columns
+
+            graph = split_hub_columns(src, dst, w, num_nodes)
+        else:
+            raise SystemExit(
+                "planted family needs split=tail (the tractable form) or "
+                "hub; raw/band tiling of scrambled communities needs >50 GB "
+                "of value tiles (docs/DESIGN.md §4)")
+    else:
+        graph, _ = bsr.random_spatial_graph(
+            num_nodes, avg_degree, seed=0,
+            split=None if split == "none" else split)
     # stats/partitioning read the BSR component; the model builder takes the
     # full (possibly hybrid) graph
     core = graph.bsr if split in ("hub", "tail") else graph
@@ -76,7 +107,7 @@ def main():
         "remat": True,
         "compute_dtype": "bfloat16" if cli.dtype == "bf16" else None,
     }
-    model = build_sparse_atgcn(graph, cfg)
+    model = build_sparse_atgcn(graph, cfg, interpret=cli.interpret)
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.normal(size=(batch, t_steps, core.padded_nodes, 1)).astype(np.float32))
     y = jnp.asarray(rng.normal(size=(batch, 3, core.padded_nodes, 1)).astype(np.float32))
@@ -147,8 +178,9 @@ def main():
     scale = ("1m" if num_nodes >= 10**6
              else "{}k".format(round(num_nodes / 1024)))
     print(json.dumps({
-        "metric": "sparse_train_edges_per_second_{}{}".format(
-            scale, "" if split == "none" else "_" + split),
+        "metric": "sparse_train_edges_per_second_{}{}{}".format(
+            scale, "" if cli.family == "spatial" else "_" + cli.family,
+            "" if split == "none" else "_" + split),
         "value": round(edges_s),
         "unit": "edges/s",
         "extras": {
