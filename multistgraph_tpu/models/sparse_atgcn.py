@@ -27,6 +27,7 @@ import jax
 import jax.numpy as jnp
 
 from multistgraph_tpu.models.initializers import dense_kernel_init, torch_style_init
+from multistgraph_tpu.ops.precision import round_cotangent
 from multistgraph_tpu.ops.spmm import (
     bsr_transpose,
     sddmm_relu,
@@ -406,6 +407,13 @@ class SparseATGCN(nn.Module):
 
             def step(hstate, inputs, pool_g=pool_g, pool_u=pool_u, dim_in=dim_in):
                 agg_x_t = inputs  # (K, N, B, C)
+                if self.compute_dtype is not None:
+                    # Under bf16 compute the f32 preferred_element_type dots
+                    # hand this stack an f32 cotangent, and scan's transpose
+                    # then allocates its (T, K, N, B, C) input-cotangent
+                    # accumulator in f32 — 4.1 GB at 1M nodes, the largest
+                    # allocation in the measured OOM (ops/precision.py).
+                    agg_x_t = round_cotangent(agg_x_t, self.compute_dtype)
                 # gate: aggregate h, concat with hoisted x part along channels
                 agg_h = self._aggregate(hstate.reshape(n, b * hdim), adaptive,
                                         support_prets, adaptive_pret)
@@ -427,6 +435,11 @@ class SparseATGCN(nn.Module):
                 step = jax.checkpoint(step)
             h0 = jnp.zeros((n, b, hdim), current.dtype)
             _, states = jax.lax.scan(step, h0, agg_x)  # (T, N, B, H)
+            if self.compute_dtype is not None:
+                # Same discipline for the layer-output stack: the f32 head
+                # matmul otherwise pads an f32 (T, N, B, H) cotangent out of
+                # d(last) — 2 GB at 1M nodes.
+                states = round_cotangent(states, self.compute_dtype)
             current = states
 
         last = current[-1]  # (N, B, H)
@@ -573,6 +586,7 @@ def build_sparse_atgcn(graph, config, interpret: bool = False) -> SparseATGCN:
             remat=config.get("remat", False),
             interpret=interpret,
             adaptive_softmax=config.get("adaptive_softmax", "sampled"),
+            compute_dtype=config.get("compute_dtype", None),
         )
     if isinstance(graph, HybridGraph):
         extra = {"hub_values": jnp.asarray(graph.hub_values),

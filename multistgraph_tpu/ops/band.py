@@ -42,12 +42,24 @@ round 4, docs/DESIGN.md §4) and the fastest 1M representation trains.
 """
 
 import functools
+import os
 from dataclasses import dataclass
 
 import jax
 import numpy as np
 
 __all__ = ["BandGraph", "split_band", "spmm_band"]
+
+# Pallas band kernels (round 4): the stacked-einsum form materializes O
+# sliced copies of x (write + re-read: ~1.3 GB extra HBM round-trip at 1M
+# nodes) and XLA schedules the per-offset dots as separate loop nests. The
+# kernels below stream each (b, b) diagonal tile and its x slice exactly
+# once, revisiting the VMEM-resident output tile across offsets (the
+# standard Pallas reduction pattern, innermost grid dim = offsets), so HBM
+# traffic drops to the information-theoretic floor: V once, x O times
+# (distinct slices), y once. Dispatch: TPU backend -> kernels; anything
+# else -> the einsum form (identical numerics, asserted in
+# tests/test_spmm_band.py). MSG_BAND_PALLAS=0 forces the einsum form.
 
 
 @dataclass(frozen=True)
@@ -148,18 +160,193 @@ def _chunk_width(n_offs, n_blocks, block, feat, itemsize):
     return max((fc // 128) * 128, min(feat, 128))
 
 
+def _pallas_mode():
+    """None (einsum form) | 'real' | 'interpret'. Default: kernels on the
+    TPU backend, einsum anywhere else. MSG_BAND_PALLAS: 0 forces einsum,
+    1 forces real kernels, 'interpret' forces interpreter-mode kernels
+    (CPU parity tests)."""
+    flag = os.environ.get("MSG_BAND_PALLAS", "auto")
+    if flag == "0":
+        return None
+    if flag == "interpret":
+        return "interpret"
+    if flag == "1" or jax.default_backend() == "tpu":
+        return "real"
+    return None
+
+
+def band_fwd_pallas(band_values, xp, offs, radius, interpret=False):
+    """y[r] = sum_o V[o, r] @ xp[r + radius + o] — grid (R, O), offsets
+    innermost so the f32 output tile accumulates in VMEM across the band
+    and each V tile / x slice streams from HBM exactly once."""
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n_off, n_blocks_v, block, _ = band_values.shape
+    n_blocks = xp.shape[0] - 2 * radius
+    feat = xp.shape[-1]
+    shifted = jnp.asarray([radius + o for o in offs], jnp.int32)
+
+    def kernel(offs_ref, v_ref, x_ref, out_ref):
+        del offs_ref
+
+        @pl.when(pl.program_id(1) == 0)
+        def _():
+            out_ref[...] = jnp.zeros_like(out_ref)
+
+        out_ref[...] += jnp.dot(v_ref[0, 0], x_ref[0],
+                                preferred_element_type=jnp.float32)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_blocks, n_off),
+        in_specs=[
+            pl.BlockSpec((1, 1, block, block), lambda r, o, offs: (o, r, 0, 0)),
+            pl.BlockSpec((1, block, feat), lambda r, o, offs: (r + offs[o], 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, block, feat), lambda r, o, offs: (r, 0, 0)),
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_blocks, block, feat), jnp.float32),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n_off * n_blocks * block * block * feat,
+            bytes_accessed=band_values.size * band_values.dtype.itemsize
+            + n_off * n_blocks * block * feat * xp.dtype.itemsize
+            + n_blocks * block * feat * 4,
+            transcendentals=0,
+        ),
+    )(shifted, band_values, xp)
+    return out.astype(xp.dtype)
+
+
+def band_dv_pallas(dy, xp, offs, radius, out_dtype, interpret=False):
+    """dV[o, r] = dY[r] @ xp[r + radius + o]^T — one (b, b) tile per grid
+    step, contraction over the full feature axis (no chunking: nothing
+    O-stacked ever materializes)."""
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n_blocks, block, feat = dy.shape
+    n_off = len(offs)
+    shifted = jnp.asarray([radius + o for o in offs], jnp.int32)
+
+    def kernel(offs_ref, dy_ref, x_ref, out_ref):
+        del offs_ref
+        acc = jax.lax.dot_general(
+            dy_ref[0], x_ref[0], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        out_ref[...] = acc.astype(out_ref.dtype)[None, None]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_off, n_blocks),
+        in_specs=[
+            pl.BlockSpec((1, block, feat), lambda o, r, offs: (r, 0, 0)),
+            pl.BlockSpec((1, block, feat), lambda o, r, offs: (r + offs[o], 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, block, block),
+                               lambda o, r, offs: (o, r, 0, 0)),
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_off, n_blocks, block, block),
+                                       out_dtype),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n_off * n_blocks * block * block * feat,
+            bytes_accessed=2 * n_off * n_blocks * block * feat * dy.dtype.itemsize
+            + n_off * n_blocks * block * block * 4,
+            transcendentals=0,
+        ),
+    )(shifted, dy, xp)
+
+
+def band_dx_pallas(band_values, dy, offs, radius, out_dtype, interpret=False):
+    """dxp[radius + s] = sum_o V[o, s - o]^T @ dY[s - o] — the transposed
+    band (negated offsets). Out-of-range source rows are masked with
+    @pl.when (their DMA index is clamped; the load lands but never
+    accumulates). Only the central R blocks are computed — the caller
+    discards the pad region's cotangent anyway."""
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n_blocks, block, feat = dy.shape
+    n_off = len(offs)
+    offs_arr = jnp.asarray(list(offs), jnp.int32)
+
+    def kernel(offs_ref, v_ref, dy_ref, out_ref):
+        o = pl.program_id(1)
+        r_src = pl.program_id(0) - offs_ref[o]
+
+        @pl.when(o == 0)
+        def _():
+            out_ref[...] = jnp.zeros_like(out_ref)
+
+        @pl.when((r_src >= 0) & (r_src < n_blocks))
+        def _():
+            out_ref[...] += jax.lax.dot_general(
+                v_ref[0, 0], dy_ref[0], (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+
+    def clamp(i):
+        return jnp.clip(i, 0, n_blocks - 1)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_blocks, n_off),
+        in_specs=[
+            pl.BlockSpec((1, 1, block, block),
+                         lambda s, o, offs: (o, clamp(s - offs[o]), 0, 0)),
+            pl.BlockSpec((1, block, feat),
+                         lambda s, o, offs: (clamp(s - offs[o]), 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, block, feat), lambda s, o, offs: (s, 0, 0)),
+    )
+    dx_core = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_blocks, block, feat), jnp.float32),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n_off * n_blocks * block * block * feat,
+            bytes_accessed=band_values.size * band_values.dtype.itemsize
+            + n_off * n_blocks * block * feat * dy.dtype.itemsize
+            + n_blocks * block * feat * 4,
+            transcendentals=0,
+        ),
+    )(offs_arr, band_values, dy)
+    dxp = jnp.zeros((n_blocks + 2 * radius, block, feat), jnp.float32)
+    dxp = jax.lax.dynamic_update_slice(dxp, dx_core, (radius, 0, 0))
+    return dxp.astype(out_dtype)
+
+
 def _band_apply(band_values, xp, offs, radius):
     import jax.numpy as jnp
 
     n_blocks = xp.shape[0] - 2 * radius
     feat = xp.shape[-1]
     v = band_values.astype(xp.dtype)
+    mode = _pallas_mode()
+    if mode is not None:
+        return band_fwd_pallas(v, xp, offs, radius,
+                               interpret=mode == "interpret")
+    # CPU's XLA cannot execute BATCHED bf16 x bf16 -> f32 dots (DotThunk);
+    # the einsum form is the non-TPU fallback, so upcast there. The TPU
+    # path is the Pallas kernels above (bf16 operands, f32 accumulate).
+    ed = jnp.float32 if v.dtype == jnp.bfloat16 else xp.dtype
     fc = _chunk_width(len(offs), n_blocks, xp.shape[1], feat, xp.dtype.itemsize)
     outs = []
     for lo in range(0, feat, fc):
         xs = jnp.stack([xp[radius + o : radius + o + n_blocks, :, lo:lo + fc]
                         for o in offs])
-        outs.append(jnp.einsum("orij,orjf->rif", v, xs,
+        outs.append(jnp.einsum("orij,orjf->rif", v.astype(ed), xs.astype(ed),
                                preferred_element_type=jnp.float32))
     y = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=-1)
     return y.astype(xp.dtype)
@@ -188,17 +375,27 @@ def _band_bwd(offs, radius, res, dy):
     feat = xp.shape[-1]
     dyc = dy.astype(xp.dtype)
     v = band_values.astype(xp.dtype)
+    mode = _pallas_mode()
+    if mode is not None:
+        interp = mode == "interpret"
+        dv = band_dv_pallas(dyc, xp, offs, radius, band_values.dtype,
+                            interpret=interp)
+        dxp = band_dx_pallas(v, dyc, offs, radius, xp.dtype,
+                             interpret=interp)
+        return dv, dxp
     fc = _chunk_width(len(offs), n_blocks, xp.shape[1], feat, xp.dtype.itemsize)
+    # same CPU batched-bf16-dot limitation as _band_apply
+    ed = jnp.float32 if v.dtype == jnp.bfloat16 else xp.dtype
     dv = None
     dxp = jnp.zeros(xp.shape, jnp.float32)
     for lo in range(0, feat, fc):
         dy_c = dyc[:, :, lo:lo + fc]
         xs = jnp.stack([xp[radius + o : radius + o + n_blocks, :, lo:lo + fc]
                         for o in offs])
-        dv_c = jnp.einsum("rif,orjf->orij", dy_c, xs,
+        dv_c = jnp.einsum("rif,orjf->orij", dy_c.astype(ed), xs.astype(ed),
                           preferred_element_type=jnp.float32)
         dv = dv_c if dv is None else dv + dv_c
-        contrib = jnp.einsum("orij,rif->orjf", v, dy_c,
+        contrib = jnp.einsum("orij,rif->orjf", v.astype(ed), dy_c.astype(ed),
                              preferred_element_type=jnp.float32)
         for i, o in enumerate(offs):
             dxp = dxp.at[radius + o : radius + o + n_blocks,

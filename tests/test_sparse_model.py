@@ -261,6 +261,36 @@ def test_bf16_compute_dtype_trains_close_to_f32(rng):
     assert np.isfinite(n1) and n1 > 0
 
 
+def test_band_graph_honors_compute_dtype(rng):
+    """Regression (round 4): the BandGraph branch of build_sparse_atgcn
+    silently dropped compute_dtype — 'bf16' band benches ran f32
+    activations, and the f32 backward accumulators OOM'd the 1M training
+    point (docs/bench/train1m_band_t8_noadp_r4_OOM_f32bug.log)."""
+    from multistgraph_tpu.ops.band import split_band
+
+    n = 512
+    src = rng.integers(0, n, 3000)
+    dst = np.clip(src + rng.integers(-100, 101, 3000), 0, n - 1)
+    w = rng.uniform(0.1, 1.0, 3000).astype(np.float32)
+    bg = split_band(src, dst, w, n, BLOCK)
+    model = build_sparse_atgcn(
+        bg, _config(compute_dtype="bfloat16", remat=True), interpret=True)
+    assert model.compute_dtype == "bfloat16"
+    x = jnp.asarray(rng.normal(size=(1, 3, bg.padded_nodes, 1)).astype(np.float32))
+    params = init_with_graph(model, jax.random.PRNGKey(0), x)
+    assert params["graph"]["support0_band_values"].dtype == jnp.bfloat16
+
+    def loss(tr):
+        return jnp.mean(jnp.square(model.apply(
+            {"params": tr, "graph": params["graph"]}, x, train=False)))
+
+    val, grads = jax.value_and_grad(loss)(params["params"])
+    assert np.isfinite(float(val))
+    total = float(jax.tree_util.tree_reduce(
+        lambda a, b: a + jnp.abs(b).sum(), grads, jnp.float32(0)))
+    assert np.isfinite(total) and total > 0
+
+
 def test_adaptive_max_blocks_subsamples_pattern(rng):
     """adaptive_max_blocks caps the adaptive pattern to the K heaviest
     blocks (the 1M-scale HBM knob); K >= nnz leaves the pattern untouched,

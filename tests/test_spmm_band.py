@@ -7,7 +7,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from multistgraph_tpu.ops.band import split_band, spmm_band
+from multistgraph_tpu.ops.band import (
+    band_dv_pallas,
+    band_dx_pallas,
+    band_fwd_pallas,
+    split_band,
+    spmm_band,
+)
 
 N = 1000
 BLOCK = 128
@@ -115,6 +121,92 @@ def test_spmm_band_value_gradients(rng):
                     if 0 <= c < nb else np.zeros((BLOCK, BLOCK), np.float32))
             np.testing.assert_allclose(np.asarray(gv[i, r]), want,
                                        atol=2e-3, rtol=2e-3)
+
+
+def _padded_inputs(rng, bg, feat=16, dtype=np.float32):
+    radius = max(abs(int(o)) for o in bg.offsets)
+    nb = bg.num_row_blocks
+    x = rng.normal(size=(bg.padded_nodes, feat)).astype(dtype)
+    xb = x.reshape(nb, BLOCK, feat)
+    pad = np.zeros((radius, BLOCK, feat), dtype)
+    xp = np.concatenate([pad, xb, pad], axis=0)
+    offs = tuple(int(o) for o in bg.offsets)
+    return x, jnp.asarray(xp), offs, radius
+
+
+def test_band_pallas_forward_matches_einsum(rng):
+    """The Pallas band kernel (TPU fast path, interpret mode here) computes
+    the same y as the stacked-einsum form, at f32 and bf16."""
+    src, dst, w = _band_graph(rng, num_edges=4000, noise_frac=0.0)
+    bg = split_band(src, dst, w, N, BLOCK)
+    full = _dense(src, dst, w)
+    for dtype in (np.float32, jnp.bfloat16):
+        x, xp, offs, radius = _padded_inputs(rng, bg, dtype=np.float32)
+        xp = xp.astype(dtype)
+        v = jnp.asarray(bg.band_values).astype(dtype)
+        got = band_fwd_pallas(v, xp, offs, radius, interpret=True)
+        want = (full @ np.asarray(x, np.float32)).reshape(
+            bg.num_row_blocks, BLOCK, -1)
+        tol = 3e-2 if dtype == jnp.bfloat16 else 2e-4
+        np.testing.assert_allclose(np.asarray(got, np.float32), want,
+                                   atol=tol * 10, rtol=tol)
+
+
+def test_band_pallas_backward_legs_match_einsum(rng):
+    """dV (sampled outer product) and dX (transposed band) kernels equal
+    the einsum backward's results tile-for-tile."""
+    src, dst, w = _band_graph(rng, num_edges=4000, noise_frac=0.0)
+    bg = split_band(src, dst, w, N, BLOCK)
+    x, xp, offs, radius = _padded_inputs(rng, bg, feat=8)
+    nb = bg.num_row_blocks
+    dy = jnp.asarray(rng.normal(size=(nb, BLOCK, 8)).astype(np.float32))
+    v = jnp.asarray(bg.band_values)
+
+    dv = band_dv_pallas(dy, xp, offs, radius, jnp.float32, interpret=True)
+    dxp = band_dx_pallas(v, dy, offs, radius, jnp.float32, interpret=True)
+
+    # einsum references (the pre-pallas backward algebra)
+    xs = jnp.stack([xp[radius + o: radius + o + nb] for o in offs])
+    dv_ref = jnp.einsum("rif,orjf->orij", dy, xs)
+    dxp_ref = np.zeros(xp.shape, np.float32)
+    contrib = np.asarray(jnp.einsum("orij,rif->orjf", v, dy))
+    for i, o in enumerate(offs):
+        dxp_ref[radius + o: radius + o + nb] += contrib[i]
+    np.testing.assert_allclose(np.asarray(dv), np.asarray(dv_ref),
+                               atol=2e-4, rtol=2e-4)
+    # the kernel only fills the central blocks; the pad cotangent is
+    # discarded by the caller — compare the central region
+    np.testing.assert_allclose(np.asarray(dxp)[radius: radius + nb],
+                               dxp_ref[radius: radius + nb],
+                               atol=2e-4, rtol=2e-4)
+
+
+def test_band_pallas_dispatch_through_spmm_band(rng, monkeypatch):
+    """MSG_BAND_PALLAS=interpret routes spmm_band (forward AND both custom-
+    VJP legs) through the Pallas kernels; results match the einsum form."""
+    src, dst, w = _band_graph(rng, num_edges=2000, noise_frac=0.0)
+    bg = split_band(src, dst, w, N, BLOCK)
+    full = jnp.asarray(_dense(src, dst, w))
+    x = jnp.asarray(rng.normal(size=(bg.padded_nodes, 8)).astype(np.float32))
+    t = jnp.asarray(rng.normal(size=(bg.padded_nodes, 8)).astype(np.float32))
+    v = jnp.asarray(bg.band_values)
+
+    def run():
+        def loss(vals, xx):
+            return jnp.sum(spmm_band(vals, bg.offsets, xx, block=BLOCK) * t)
+
+        y = spmm_band(v, bg.offsets, x, block=BLOCK)
+        gv, gx = jax.grad(loss, argnums=(0, 1))(v, x)
+        return np.asarray(y), np.asarray(gv), np.asarray(gx)
+
+    monkeypatch.setenv("MSG_BAND_PALLAS", "0")  # einsum baseline
+    y0, gv0, gx0 = run()
+    monkeypatch.setenv("MSG_BAND_PALLAS", "interpret")
+    y1, gv1, gx1 = run()
+    np.testing.assert_allclose(y0, np.asarray(full @ x), atol=2e-4, rtol=2e-4)
+    np.testing.assert_allclose(y1, y0, atol=2e-4, rtol=2e-4)
+    np.testing.assert_allclose(gv1, gv0, atol=2e-4, rtol=2e-4)
+    np.testing.assert_allclose(gx1, gx0, atol=2e-4, rtol=2e-4)
 
 
 def test_spmm_band_grads_bf16_path(rng):
