@@ -117,3 +117,32 @@ def test_http_roundtrip(trained):
         assert err.value.code == 400
     finally:
         server.shutdown()
+
+
+def test_serves_sparse_graph_model(rng):
+    """PredictService is model-agnostic: a SparseATGCN (whose variables
+    carry a non-trainable 'graph' collection, models/sparse_atgcn.py:137)
+    serves through the same bucketed predict path — the whole variable
+    dict rides self.params into model.apply. This is the 50k-1M-node
+    serving surface (BASELINE configs 4-5)."""
+    import jax
+
+    from multistgraph_tpu.data.scalers import NoneScaler
+    from multistgraph_tpu.models.sparse_atgcn import (
+        build_sparse_atgcn, init_with_graph)
+    from multistgraph_tpu.ops import bsr
+
+    n_pad = 256
+    dense = (rng.uniform(size=(n_pad, n_pad)) < 0.05).astype(np.float32)
+    graph = bsr.bsr_from_dense(dense, block=128)
+    cfg = {"output_window": 3, "output_dim": 1, "rnn_units": 8,
+           "num_layers": 1, "embed_dim_adj": 4, "adpadj": "none"}
+    model = build_sparse_atgcn(graph, cfg, interpret=True)
+    x0 = np.zeros((1, 4, n_pad, 1), np.float32)
+    variables = init_with_graph(model, jax.random.PRNGKey(0), x0)
+
+    service = PredictService(model, variables, NoneScaler(), max_batch=4)
+    x = rng.normal(size=(3, 4, n_pad, 1)).astype(np.float32)
+    out = service.predict(x)
+    assert out.shape == (3, 3, n_pad, 1)
+    assert np.isfinite(out).all()
