@@ -1,0 +1,240 @@
+"""On-chip probes for a slab-granular band-SpMM kernel design.
+
+The per-tile Pallas band kernel (ops/band.py band_fwd_pallas) measured
+18.3 ms at the 1M point vs the stacked-einsum form's 12.8 ms — one
+128x128 tile per grid step pays ~450 ns of grid/DMA overhead against
+~21 ns of MXU work (docs/bench/band1m_spmm_pallas_r4.log). A faster
+design processes C row blocks per step with ONE packed-band dot per
+output tile: V_cat[r] (b, W=(2r+1)b) @ xwin[r] (W, F), where xwin is a
+contiguous slice of the padded x slab when the offsets span the full
+[-radius, radius] range.
+
+This script probes the three Mosaic unknowns that decide whether that
+kernel is buildable, then times the candidates:
+
+  P1  batched dot_general (C,b,W)@(C,W,F) inside a pallas kernel
+  P2  per-dot issue overhead of (b,W)@(W,F) dots in a fori_loop
+  P3  ref-slice reshape (2r+1, b, F) -> (W, F) inside a kernel
+
+Usage: python tools/probe_band_stream.py [--interpret]
+"""
+
+import argparse
+import functools
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+B = 128
+
+
+def _report(name, ok, note=""):
+    print("[{}] {} {}".format(name, "OK" if ok else "FAIL", note),
+          file=sys.stderr, flush=True)
+
+
+def probe_batched_dot(interpret):
+    """P1: batched dot_general inside a kernel."""
+    c, w, f = 4, 3 * B, B
+    rng = np.random.default_rng(0)
+    v = jnp.asarray(rng.normal(size=(c, B, w)).astype(np.float32))
+    x = jnp.asarray(rng.normal(size=(c, w, f)).astype(np.float32))
+
+    def kernel(v_ref, x_ref, o_ref):
+        o_ref[...] = jax.lax.dot_general(
+            v_ref[...], x_ref[...],
+            (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+
+    try:
+        out = pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((c, B, f), jnp.float32),
+            interpret=interpret,
+        )(v, x)
+        want = jnp.einsum("cbw,cwf->cbf", v, x)
+        ok = bool(jnp.allclose(out, want, atol=1e-3, rtol=1e-3))
+        _report("P1 batched-dot", ok)
+        return ok
+    except Exception as exc:  # noqa: BLE001
+        _report("P1 batched-dot", False, repr(exc)[:200])
+        return False
+
+
+def probe_slice_reshape(interpret):
+    """P3: contiguous leading-dims merge of a scratch slice."""
+    r, f = 2, B
+    w = (2 * r + 1) * B
+    rng = np.random.default_rng(1)
+    xs = jnp.asarray(rng.normal(size=(8, B, f)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(B, w)).astype(np.float32))
+
+    def kernel(v_ref, x_ref, o_ref):
+        win = x_ref[1:1 + 2 * r + 1].reshape(w, f)
+        o_ref[...] = jnp.dot(v_ref[...], win,
+                             preferred_element_type=jnp.float32)
+
+    try:
+        out = pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((B, f), jnp.float32),
+            interpret=interpret,
+        )(v, xs)
+        want = v @ xs[1:1 + 2 * r + 1].reshape(w, f)
+        ok = bool(jnp.allclose(out, want, atol=1e-3, rtol=1e-3))
+        _report("P3 slice-reshape", ok)
+        return ok
+    except Exception as exc:  # noqa: BLE001
+        _report("P3 slice-reshape", False, repr(exc)[:200])
+        return False
+
+
+def _slope(fn, trips=(4, 8)):
+    fn()  # compile + warm
+    times = []
+    for k in trips:
+        t0 = time.time()
+        for _ in range(k):
+            jax.block_until_ready(fn())
+        times.append((k, time.time() - t0))
+    (k1, t1), (k2, t2) = times
+    return (t2 - t1) / (k2 - k1)
+
+
+def probe_streams(interpret):
+    """P2 + end-to-end candidates at a 1M-ish scale: time (a) the packed
+    slab kernel with per-c dots, (b) with one batched dot per slab, against
+    (c) the stacked-einsum reference."""
+    radius = 2
+    n_off = 2 * radius + 1
+    r_blocks = 8192  # 1M nodes + padding
+    feat = 128
+    cr = 8
+    w = n_off * B
+    rng = np.random.default_rng(2)
+    dt = jnp.bfloat16
+    v_pack = jnp.asarray(
+        rng.normal(size=(r_blocks, B, w)).astype(np.float32)).astype(dt)
+    xp = jnp.asarray(
+        rng.normal(size=(r_blocks + 2 * radius, B, feat)).astype(np.float32)
+    ).astype(dt)
+
+    def make_kernel(batched):
+        def kernel(v_hbm, x_hbm, out_ref, v_s, x_s, sem_v, sem_x):
+            c = pl.program_id(0)
+            slot = jax.lax.rem(c, 2)
+            nxt = jax.lax.rem(c + 1, 2)
+
+            def dma_v(s, cc):
+                return pltpu.make_async_copy(
+                    v_hbm.at[pl.ds(cc * cr, cr)], v_s.at[s], sem_v.at[s])
+
+            def dma_x(s, cc):
+                return pltpu.make_async_copy(
+                    x_hbm.at[pl.ds(cc * cr, cr + 2 * radius)], x_s.at[s],
+                    sem_x.at[s])
+
+            @pl.when(c == 0)
+            def _():
+                dma_v(slot, c).start()
+                dma_x(slot, c).start()
+
+            @pl.when(c + 1 < pl.num_programs(0))
+            def _():
+                dma_v(nxt, c + 1).start()
+                dma_x(nxt, c + 1).start()
+
+            dma_v(slot, c).wait()
+            dma_x(slot, c).wait()
+            if batched:
+                # gather the C overlapping windows with static copies, one
+                # batched dot per slab
+                win = jnp.stack(
+                    [x_s[slot, j:j + n_off].reshape(w, feat)
+                     for j in range(cr)])
+                out_ref[...] = jax.lax.dot_general(
+                    v_s[slot], win, (((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32)
+            else:
+                for j in range(cr):
+                    out_ref[j] = jnp.dot(
+                        v_s[slot, j], x_s[slot, j:j + n_off].reshape(w, feat),
+                        preferred_element_type=jnp.float32)
+
+        return kernel
+
+    results = {}
+    for name, batched in (("per-c dots", False), ("batched dot", True)):
+        try:
+            fn = pl.pallas_call(
+                make_kernel(batched),
+                grid=(r_blocks // cr,),
+                in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
+                          pl.BlockSpec(memory_space=pltpu.ANY)],
+                out_specs=pl.BlockSpec(
+                    (cr, B, feat), lambda c: (c, 0, 0)),
+                out_shape=jax.ShapeDtypeStruct((r_blocks, B, feat),
+                                               jnp.float32),
+                scratch_shapes=[
+                    pltpu.VMEM((2, cr, B, w), v_pack.dtype),
+                    pltpu.VMEM((2, cr + 2 * radius, B, feat), xp.dtype),
+                    pltpu.SemaphoreType.DMA((2,)),
+                    pltpu.SemaphoreType.DMA((2,)),
+                ],
+                interpret=interpret,
+            )
+            jfn = jax.jit(lambda v, x, f=fn: f(v, x))
+            out = jfn(v_pack, xp)
+            # correctness vs einsum on a slab
+            want = jnp.einsum(
+                "bw,wf->bf", v_pack[5].astype(jnp.float32),
+                xp[5:5 + n_off].reshape(w, feat).astype(jnp.float32))
+            ok = bool(jnp.allclose(out[5], want, atol=2e-1, rtol=2e-2))
+            per = _slope(lambda: jfn(v_pack, xp))
+            results[name] = per
+            _report("P2 {}".format(name), ok,
+                    "{:.2f} ms".format(per * 1e3))
+        except Exception as exc:  # noqa: BLE001
+            _report("P2 {}".format(name), False, repr(exc)[:300])
+
+    # einsum reference at the same shape
+    offs = tuple(range(-radius, radius + 1))
+    v_diag = jnp.asarray(
+        rng.normal(size=(n_off, r_blocks, B, B)).astype(np.float32)).astype(dt)
+
+    @jax.jit
+    def einsum_form(v, x):
+        xs = jnp.stack([x[radius + o: radius + o + r_blocks] for o in offs])
+        return jnp.einsum("orij,orjf->rif", v, xs,
+                          preferred_element_type=jnp.float32)
+
+    jax.block_until_ready(einsum_form(v_diag, xp))
+    per = _slope(lambda: einsum_form(v_diag, xp))
+    results["einsum"] = per
+    _report("P2 einsum", True, "{:.2f} ms".format(per * 1e3))
+    print(results)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--interpret", action="store_true")
+    ap.add_argument("--small", action="store_true",
+                    help="tiny correctness-only sweep (CPU)")
+    args = ap.parse_args()
+    p1 = probe_batched_dot(args.interpret)
+    p3 = probe_slice_reshape(args.interpret)
+    if not args.small:
+        probe_streams(args.interpret)
+    print("probes done p1={} p3={}".format(p1, p3))
+
+
+if __name__ == "__main__":
+    main()
