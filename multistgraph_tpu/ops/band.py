@@ -223,6 +223,144 @@ def band_fwd_pallas(band_values, xp, offs, radius, interpret=False):
     return out.astype(xp.dtype)
 
 
+def pack_band_rows(band_values, offs, radius):
+    """(O, R, b, b) diagonals -> (R, b, W) packed band matrix, W=(2r+1)b:
+    row block r's dense in-band row is V_cat[r] = [V_{-r}..V_{+r}][r] with
+    absent offsets zero. Then y[r] = V_cat[r] @ xp[r : r+2r+1].reshape(W,F)
+    — ONE MXU dot per output tile against a CONTIGUOUS window of the
+    padded x slab (the slab kernel below). Works on numpy or jnp arrays."""
+    import jax.numpy as jnp
+
+    is_np = isinstance(band_values, np.ndarray)
+    xnp = np if is_np else jnp
+    n_off, r_blocks, b, _ = band_values.shape
+    w = (2 * radius + 1) * b
+    packed = xnp.zeros((r_blocks, b, w), band_values.dtype)
+    for i, o in enumerate(offs):
+        sl = (o + radius) * b
+        if is_np:
+            packed[:, :, sl:sl + b] = band_values[i]
+        else:
+            packed = packed.at[:, :, sl:sl + b].set(band_values[i])
+    return packed
+
+
+def pack_band_rows_transposed(band_values, offs, radius):
+    """Packed form of A^T for the dX leg: A^T's diagonal at offset -o holds
+    V_o[r']^T shifted to source row r' = r + o. Slot layout matches
+    pack_band_rows, so the same slab kernel computes dxp_core = A^T @ dy."""
+    import jax.numpy as jnp
+
+    is_np = isinstance(band_values, np.ndarray)
+    xnp = np if is_np else jnp
+    n_off, r_blocks, b, _ = band_values.shape
+    w = (2 * radius + 1) * b
+    packed = xnp.zeros((r_blocks, b, w), band_values.dtype)
+    for i, o in enumerate(offs):
+        # A^T[r', r' - o] = A[r' - o, r' ]^T  with r = r' - o in [0, R)
+        lo, hi = max(0, o), min(r_blocks, r_blocks + o)
+        src = band_values[i, lo - o if o < 0 else 0: r_blocks - o if o > 0 else r_blocks]
+        src = xnp.transpose(src, (0, 2, 1))
+        sl = (-o + radius) * b
+        if is_np:
+            packed[lo:hi, :, sl:sl + b] = src
+        else:
+            packed = packed.at[lo:hi, :, sl:sl + b].set(src)
+    return packed
+
+
+def band_fwd_slab_pallas(v_packed, xp, radius, chunk_rows=8, n_buf=2,
+                         batched=False, interpret=False):
+    """Slab-granular band SpMM: y[r] = V_cat[r] @ xp[r : r+2r+1] — one dot
+    per output tile, C=chunk_rows output tiles per grid step, in-kernel
+    double-buffered DMA of the contiguous value slab + x window (the
+    per-tile BlockSpec kernel above pays ~450 ns grid overhead per 21 ns
+    dot and LOSES to the einsum form at 1M; this is the fixed design —
+    probed in tools/probe_band_stream.py). `batched=True` issues one
+    batched dot per slab instead of C serial dots."""
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    r_blocks, block, w = v_packed.shape
+    feat = xp.shape[-1]
+    n_off = 2 * radius + 1
+    cr = min(chunk_rows, r_blocks)
+    if r_blocks % cr:
+        # pad the row dimension so the grid tiles evenly (zero rows emit
+        # zero output rows that the caller slices off)
+        pad_r = cr - r_blocks % cr
+        v_packed = jnp.concatenate(
+            [v_packed, jnp.zeros((pad_r, block, w), v_packed.dtype)], axis=0)
+        xp = jnp.concatenate(
+            [xp, jnp.zeros((pad_r, block, feat), xp.dtype)], axis=0)
+        r_pad = r_blocks + pad_r
+    else:
+        pad_r = 0
+        r_pad = r_blocks
+
+    def kernel(v_hbm, x_hbm, out_ref, v_s, x_s, sem_v, sem_x):
+        c = pl.program_id(0)
+        slot = jax.lax.rem(c, n_buf)
+
+        def dma_v(s, cc):
+            return pltpu.make_async_copy(
+                v_hbm.at[pl.ds(cc * cr, cr)], v_s.at[s], sem_v.at[s])
+
+        def dma_x(s, cc):
+            return pltpu.make_async_copy(
+                x_hbm.at[pl.ds(cc * cr, cr + 2 * radius)], x_s.at[s],
+                sem_x.at[s])
+
+        @pl.when(c == 0)
+        def _():
+            dma_v(slot, c).start()
+            dma_x(slot, c).start()
+
+        @pl.when(c + 1 < pl.num_programs(0))
+        def _():
+            nxt = jax.lax.rem(c + 1, n_buf)
+            dma_v(nxt, c + 1).start()
+            dma_x(nxt, c + 1).start()
+
+        dma_v(slot, c).wait()
+        dma_x(slot, c).wait()
+        if batched:
+            win = jnp.stack([x_s[slot, j:j + n_off].reshape(w, feat)
+                             for j in range(cr)])
+            out_ref[...] = jax.lax.dot_general(
+                v_s[slot], win, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)
+        else:
+            for j in range(cr):
+                out_ref[j] = jnp.dot(
+                    v_s[slot, j], x_s[slot, j:j + n_off].reshape(w, feat),
+                    preferred_element_type=jnp.float32)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(r_pad // cr,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
+                  pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec((cr, block, feat), lambda c: (c, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((r_pad, block, feat), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((n_buf, cr, block, w), v_packed.dtype),
+            pltpu.VMEM((n_buf, cr + 2 * radius, block, feat), xp.dtype),
+            pltpu.SemaphoreType.DMA((n_buf,)),
+            pltpu.SemaphoreType.DMA((n_buf,)),
+        ],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * r_blocks * block * w * feat,
+            bytes_accessed=v_packed.size * v_packed.dtype.itemsize
+            + xp.size * xp.dtype.itemsize + r_blocks * block * feat * 4,
+            transcendentals=0,
+        ),
+    )(v_packed, xp)
+    return out[:r_blocks]
+
+
 def band_dv_pallas(dy, xp, offs, radius, out_dtype, interpret=False):
     """dV[o, r] = dY[r] @ xp[r + radius + o]^T — one (b, b) tile per grid
     step, contraction over the full feature axis (no chunking: nothing

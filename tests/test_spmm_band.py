@@ -223,3 +223,38 @@ def test_spmm_band_grads_bf16_path(rng):
     gv, gx = jax.grad(loss, argnums=(0, 1))(jnp.asarray(bg.band_values), x)
     assert gv.dtype == jnp.float32 and gx.dtype == jnp.bfloat16
     assert bool(jnp.isfinite(gv).all())
+
+
+def test_band_slab_kernel_matches_dense(rng):
+    """Slab-granular packed-band kernel (one dot per output tile against a
+    contiguous x window): forward matches dense, both dot modes, including
+    a row count not divisible by chunk_rows."""
+    from multistgraph_tpu.ops.band import (
+        band_fwd_slab_pallas, pack_band_rows, pack_band_rows_transposed)
+
+    src, dst, w = _band_graph(rng, num_edges=4000, noise_frac=0.0)
+    bg = split_band(src, dst, w, N, BLOCK)
+    full = _dense(src, dst, w)
+    x, xp, offs, radius = _padded_inputs(rng, bg, feat=16)
+    nb = bg.num_row_blocks
+    assert nb % 3 != 0  # exercise the pad-to-chunk path with chunk_rows=3
+
+    v_pack = jnp.asarray(pack_band_rows(bg.band_values, offs, radius))
+    want = (full @ x).reshape(nb, BLOCK, -1)
+    for batched in (False, True):
+        got = band_fwd_slab_pallas(v_pack, xp, radius, chunk_rows=3,
+                                   batched=batched, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), want, atol=2e-4,
+                                   rtol=2e-4)
+
+    # transposed packing computes A^T @ dy through the SAME kernel
+    dy = rng.normal(size=(nb, BLOCK, 16)).astype(np.float32)
+    dyp = np.concatenate([np.zeros((radius, BLOCK, 16), np.float32), dy,
+                          np.zeros((radius, BLOCK, 16), np.float32)])
+    vt_pack = jnp.asarray(pack_band_rows_transposed(
+        bg.band_values, offs, radius))
+    got_t = band_fwd_slab_pallas(vt_pack, jnp.asarray(dyp), radius,
+                                 chunk_rows=4, interpret=True)
+    want_t = (full.T @ dy.reshape(-1, 16)).reshape(nb, BLOCK, -1)
+    np.testing.assert_allclose(np.asarray(got_t), want_t, atol=2e-4,
+                               rtol=2e-4)
