@@ -137,8 +137,22 @@ def main():
         return params, opt_state, loss
 
     t0 = time.time()
-    params, opt_state, loss = step(params, opt_state, x, y)
+    lowered = step.lower(params, opt_state, x, y)
+    compiled = lowered.compile()
     compile_s = time.time() - t0
+    try:
+        ma = compiled.memory_analysis()
+        print("compiled memory: temp {:.2f}G args {:.2f}G out {:.2f}G "
+              "(alias {:.2f}G) gen-code {:.0f}M".format(
+                  ma.temp_size_in_bytes / 2**30,
+                  ma.argument_size_in_bytes / 2**30,
+                  ma.output_size_in_bytes / 2**30,
+                  ma.alias_size_in_bytes / 2**30,
+                  ma.generated_code_size_in_bytes / 2**20),
+              file=sys.stderr, flush=True)
+    except Exception as exc:  # noqa: BLE001 — diagnostics only
+        print("memory_analysis unavailable: {!r}".format(exc), file=sys.stderr)
+    params, opt_state, loss = compiled(params, opt_state, x, y)
     print("step compile {:.1f}s loss {:.4f}".format(compile_s, float(loss)), file=sys.stderr)
 
     iters = cli.iters
