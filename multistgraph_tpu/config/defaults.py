@@ -311,6 +311,9 @@ DATA_DEFAULTS = {
     "SyntheticLargeGraphDataset": {
         "num_nodes": 4096,
         "avg_degree": 16,
+        # hybrid graph representation: None | 'hub' | 'tail' | 'band'
+        # (ops/hybrid.py, ops/band.py — docs/DESIGN.md §4)
+        "graph_split": None,
         "len_time": 240,
         "batch_size": 2,
         "pad_with_last_sample": True,

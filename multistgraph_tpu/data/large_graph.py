@@ -42,8 +42,16 @@ class SyntheticLargeGraphDataset:
         self.output_dim = config.get("output_dim", 1)
         self._logger = get_logger(name="multistgraph_tpu.data")
 
+        # graph_split selects the hybrid representation end-to-end through
+        # the ordinary pipeline: 'hub' extracts high-fan-in columns into a
+        # skinny dense matmul, 'tail' routes sparse-tile edges through the
+        # COO segment-sum path, 'band' densifies the offset diagonals (the
+        # fastest trainable 1M form, docs/DESIGN.md §4). All four forms are
+        # consumable by build_sparse_atgcn and the distributed backend.
+        self.graph_split = config.get("graph_split", None)
         self.graph, self.num_edges = random_spatial_graph(
-            self.num_nodes, self.avg_degree, seed=self.seed
+            self.num_nodes, self.avg_degree, seed=self.seed,
+            split=self.graph_split,
         )
         self.scaler = None
         self.num_batches = 0

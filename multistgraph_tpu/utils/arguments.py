@@ -52,6 +52,18 @@ GENERAL_ARGUMENTS = {
     "data_parallel": str2bool,   # shard the batch axis over all devices
     "node_parallel": str2bool,   # edge-partitioned sparse multi-chip training
     "distributed": str2bool,     # multi-host pod launch (jax.distributed)
+    # large-graph (SparseATGCN) configs — BASELINE configs 4-5
+    "num_nodes": int,            # synthetic graph size
+    "avg_degree": int,
+    "embed_dim_adj": int,
+    "embed_dim_node": int,
+    "len_time": int,
+    "graph_split": str,          # none | hub | tail | band (docs/DESIGN.md §4)
+    "compute_dtype": str,        # e.g. bfloat16 — mixed-precision training
+    "remat": str2bool,           # rematerialize the time scan
+    "adaptive_max_blocks": int,  # cap the adaptive pattern (HBM knob)
+    "use_early_stop": str2bool,
+    "pallas_interpret": str2bool,  # interpreter-mode kernels (CPU debugging)
 }
 
 

@@ -64,3 +64,36 @@ def test_sparse_model_pipeline_node_parallel(tmp_path):
     )
     assert len(result) == 2
     assert np.isfinite(result["masked_MAE"]).all()
+
+
+def test_sparse_pipeline_graph_split_forms(tmp_path):
+    """config['graph_split'] selects the hybrid graph representation
+    (hub / tail / band — the measured-fastest 1M forms, docs/DESIGN.md §4)
+    end-to-end through run_model; each form trains to finite metrics."""
+    for split in ("hub", "tail", "band"):
+        result = run_model(
+            task="traffic_state_pred",
+            model_name="SparseATGCN",
+            dataset_name="SYN_LARGE_SPLIT",
+            other_args={
+                "output_dir": str(tmp_path / ("out_" + split)),
+                "exp_id": "split_" + split,
+                "num_nodes": 300,      # pads to 384 = 3 blocks
+                "avg_degree": 8,
+                "len_time": 120,
+                "graph_split": split,
+                "input_window": 8,
+                "output_window": 2,
+                "batch_size": 4,
+                "rnn_units": 8,
+                "embed_dim_adj": 4,
+                "adpadj": "none",
+                "num_layers": 1,
+                "remat": False,
+                "max_epoch": 1,
+                "use_early_stop": False,
+                "pallas_interpret": True,
+                "seed": 0,
+            },
+        )
+        assert np.isfinite(result["masked_MAE"]).all(), split
