@@ -251,10 +251,14 @@ def main():
             run_dir = os.path.join(bench_root, "outputs", run_args["exp_id"])
             import glob as _glob
 
-            if _glob.glob(os.path.join(run_dir, "*_trans.csv")):
+            if _glob.glob(os.path.join(run_dir, "*_trans.csv")) \
+                    or _glob.glob(os.path.join(run_dir, "evaluate_cache",
+                                               "*_trans.csv")):
                 # resumable: a completed run already wrote its retransformed
                 # metrics — skip it (unattended multi-hour sweeps restart
-                # after interruptions and only pay for what's missing)
+                # after interruptions and only pay for what's missing).
+                # The executor writes them under evaluate_cache/; naive rows
+                # land in the run dir root — check both.
                 print("[{} seed {}] cached, skipping".format(label, seed),
                       file=sys.stderr, flush=True)
                 continue
@@ -306,7 +310,29 @@ def main():
     table = collect_trans_tables(os.path.join(bench_root, "outputs"))
     table = table[table["run"].str.startswith("q_" + ds_name)]
     horizons = [h for h in (3, 6, 12, 24) if h <= shape["output_window"]]
-    summary = add_improvement(summarize(table, horizons), "MultiATGCN")
+    summary = summarize(table, horizons)
+
+    # Merge with the previously published table (docs/<doc>_summary.csv):
+    # a partial sweep (e.g. re-running two models under a fixed recipe)
+    # must REPLACE those models' rows and carry everything else forward —
+    # regenerating from run caches alone silently drops every model whose
+    # cache was cleaned, destroying the published comparison.
+    doc_name = args.out or "RESULTS_{}".format(ds_name)
+    prior_path = os.path.join(ROOT, "docs", doc_name + "_summary.csv")
+    if os.path.exists(prior_path):
+        prior = pd.read_csv(prior_path, index_col=0)
+        fresh_models = set(summary["Model_name"])
+        carried = prior[~prior["Model_name"].isin(fresh_models)]
+        carried = carried[[c for c in carried.columns
+                           if not c.endswith("_vs_ref_pct")]]
+        if len(carried):
+            print("carrying {} prior rows for {} model(s) from {}".format(
+                len(carried), carried["Model_name"].nunique(), prior_path),
+                file=sys.stderr)
+            summary = pd.concat([summary, carried], ignore_index=True)
+            summary = summary.sort_values(
+                ["horizon", "Model_name"]).reset_index(drop=True)
+    summary = add_improvement(summary, "MultiATGCN")
 
     lines = [
         "# RESULTS — full-protocol comparison ({})".format(ds_name),
@@ -314,6 +340,9 @@ def main():
         "Protocol: reference training recipe (Adam 3e-3, multistep x0.75 @ {5,10,20,30},",
         "clip 5, batch 16, <={} epochs, early stop patience 6), seeds {};".format(
             args.max_epoch, seeds),
+        "per-model optimizer/LR overrides follow the reference's documented",
+        "settings (Implementation details.pdf p.1-2; _RECIPES in tools/quality_run.py —",
+        "TGCN/STSGCN, absent from the PDF, use their papers' Adam 1e-3);",
         "group-retransformed metrics (truth>10 filter), cumulative over the first h steps;",
         "mean +/- std over seeds. Data: statistically-matched synthetic {} (237/403-node".format(ds_name),
         "shape, daily/weekly/trend structure + OD-correlated AR dynamics; the reference's",
