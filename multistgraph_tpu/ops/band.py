@@ -160,11 +160,17 @@ def _chunk_width(n_offs, n_blocks, block, feat, itemsize):
     return max((fc // 128) * 128, min(feat, 128))
 
 
-def _pallas_mode():
+def _pallas_mode(force_xla=False):
     """None (einsum form) | 'real' | 'interpret'. Default: kernels on the
     TPU backend, einsum anywhere else. MSG_BAND_PALLAS: 0 forces einsum,
     1 forces real kernels, 'interpret' forces interpreter-mode kernels
-    (CPU parity tests)."""
+    (CPU parity tests). force_xla pins the einsum form — the distributed
+    boundary backend passes it through `_band_vjp`'s static args: Pallas
+    inside shard_map cannot be hardware-validated on a single attached
+    chip, while the einsum form's multichip compile is battle-tested
+    (tests/test_sparse_dist.py)."""
+    if force_xla:
+        return None
     flag = os.environ.get("MSG_BAND_PALLAS", "auto")
     if flag == "0":
         return None
@@ -465,20 +471,21 @@ def band_dx_pallas(band_values, dy, offs, radius, out_dtype, interpret=False):
     return dxp.astype(out_dtype)
 
 
-def _band_apply(band_values, xp, offs, radius):
+def _band_apply(band_values, xp, offs, radius, use_xla=False):
     import jax.numpy as jnp
 
     n_blocks = xp.shape[0] - 2 * radius
     feat = xp.shape[-1]
     v = band_values.astype(xp.dtype)
-    mode = _pallas_mode()
+    mode = _pallas_mode(use_xla)
     if mode is not None:
         return band_fwd_pallas(v, xp, offs, radius,
                                interpret=mode == "interpret")
     # CPU's XLA cannot execute BATCHED bf16 x bf16 -> f32 dots (DotThunk);
-    # the einsum form is the non-TPU fallback, so upcast there. The TPU
-    # path is the Pallas kernels above (bf16 operands, f32 accumulate).
-    ed = jnp.float32 if v.dtype == jnp.bfloat16 else xp.dtype
+    # upcast the einsum there. On TPU (force_xla distributed path) the
+    # batched bf16 dot is native — keep it narrow.
+    ed = jnp.float32 if (v.dtype == jnp.bfloat16
+                         and jax.default_backend() != "tpu") else xp.dtype
     fc = _chunk_width(len(offs), n_blocks, xp.shape[1], feat, xp.dtype.itemsize)
     outs = []
     for lo in range(0, feat, fc):
@@ -490,16 +497,16 @@ def _band_apply(band_values, xp, offs, radius):
     return y.astype(xp.dtype)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
-def _band_vjp(band_values, xp, offs, radius):
-    return _band_apply(band_values, xp, offs, radius)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def _band_vjp(band_values, xp, offs, radius, use_xla=False):
+    return _band_apply(band_values, xp, offs, radius, use_xla)
 
 
-def _band_fwd(band_values, xp, offs, radius):
-    return _band_apply(band_values, xp, offs, radius), (band_values, xp)
+def _band_fwd(band_values, xp, offs, radius, use_xla=False):
+    return _band_apply(band_values, xp, offs, radius, use_xla), (band_values, xp)
 
 
-def _band_bwd(offs, radius, res, dy):
+def _band_bwd(offs, radius, use_xla, res, dy):
     """Hand-written band-algebra backward (module docstring):
     dV_o[r] = dY[r] X[r+o]^T (sampled outer-product einsum over the same
     stacked x-slices as the forward, summed over feature chunks) and
@@ -513,7 +520,7 @@ def _band_bwd(offs, radius, res, dy):
     feat = xp.shape[-1]
     dyc = dy.astype(xp.dtype)
     v = band_values.astype(xp.dtype)
-    mode = _pallas_mode()
+    mode = _pallas_mode(use_xla)
     if mode is not None:
         interp = mode == "interpret"
         dv = band_dv_pallas(dyc, xp, offs, radius, band_values.dtype,
@@ -523,7 +530,8 @@ def _band_bwd(offs, radius, res, dy):
         return dv, dxp
     fc = _chunk_width(len(offs), n_blocks, xp.shape[1], feat, xp.dtype.itemsize)
     # same CPU batched-bf16-dot limitation as _band_apply
-    ed = jnp.float32 if v.dtype == jnp.bfloat16 else xp.dtype
+    ed = jnp.float32 if (v.dtype == jnp.bfloat16
+                         and jax.default_backend() != "tpu") else xp.dtype
     dv = None
     dxp = jnp.zeros(xp.shape, jnp.float32)
     for lo in range(0, feat, fc):

@@ -604,8 +604,11 @@ def boundary_aggregate(
                 xp = jnp.concatenate([left, xb, right], axis=0)
             else:
                 xp = xb
+            # use_xla=True: pin the einsum form inside shard_map — Pallas
+            # under the multichip partitioner cannot be hardware-validated
+            # on the single attached chip (ops/band.py:_pallas_mode)
             y_band = _band_vjp(jax.lax.stop_gradient(a["band_values"]), xp,
-                               band_offsets, band_radius)
+                               band_offsets, band_radius, True)
             y_static = y_static + y_band.reshape(per * block, feat).astype(
                 y_static.dtype)
             band_opt = opt[n_bsr_opt:]
@@ -614,7 +617,7 @@ def boundary_aggregate(
                 # same halo'd xp, values from boundary_adaptive_band_values
                 # (differentiable w.r.t. the values through the custom VJP)
                 y_adp = _band_vjp(band_opt[0][0].astype(xp.dtype), xp,
-                                  band_offsets, band_radius
+                                  band_offsets, band_radius, True
                                   ).reshape(per * block, feat)
                 if len(band_opt) == 2:  # dense-corrected rank-1 background
                     colsum = jax.lax.psum(
