@@ -97,15 +97,20 @@ def probe_slice_reshape(interpret):
         return False
 
 
-def _slope(fn, trips=(4, 8)):
-    fn()  # compile + warm
+def _slope_looped(make_loop, trips=(2, 4, 8)):
+    """Latency-cancelling slope: the k iterations run INSIDE one jitted
+    fori_loop (the relay adds ~28 ms per DISPATCH — docs/DESIGN.md §9 —
+    so per-call timing measures only the dispatch floor; the first probe
+    version made exactly that mistake)."""
+    jax.block_until_ready(make_loop(trips[0])())  # compile + warm
     times = []
     for k in trips:
+        fn = make_loop(k)
+        jax.block_until_ready(fn())
         t0 = time.time()
-        for _ in range(k):
-            jax.block_until_ready(fn())
+        jax.block_until_ready(fn())
         times.append((k, time.time() - t0))
-    (k1, t1), (k2, t2) = times
+    (k1, t1), (k2, t2) = times[0], times[-1]
     return (t2 - t1) / (k2 - k1)
 
 
@@ -177,8 +182,8 @@ def probe_streams(interpret):
             fn = pl.pallas_call(
                 make_kernel(batched),
                 grid=(r_blocks // cr,),
-                in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
-                          pl.BlockSpec(memory_space=pltpu.ANY)],
+                in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                          pl.BlockSpec(memory_space=pl.ANY)],
                 out_specs=pl.BlockSpec(
                     (cr, B, feat), lambda c: (c, 0, 0)),
                 out_shape=jax.ShapeDtypeStruct((r_blocks, B, feat),
@@ -198,7 +203,17 @@ def probe_streams(interpret):
                 "bw,wf->bf", v_pack[5].astype(jnp.float32),
                 xp[5:5 + n_off].reshape(w, feat).astype(jnp.float32))
             ok = bool(jnp.allclose(out[5], want, atol=2e-1, rtol=2e-2))
-            per = _slope(lambda: jfn(v_pack, xp))
+
+            def make_loop(k, f=fn):
+                @functools.partial(jax.jit, static_argnums=2)
+                def run(v, x, kk):
+                    def body(i, c):
+                        xi = x.at[0, 0, 0].add((c * 1e-12).astype(x.dtype))
+                        return c + f(v, xi)[0, 0, 0] * 1e-12
+                    return jax.lax.fori_loop(0, kk, body, jnp.float32(0.0))
+                return lambda: run(v_pack, xp, k)
+
+            per = _slope_looped(make_loop)
             results[name] = per
             _report("P2 {}".format(name), ok,
                     "{:.2f} ms".format(per * 1e3))
@@ -210,14 +225,21 @@ def probe_streams(interpret):
     v_diag = jnp.asarray(
         rng.normal(size=(n_off, r_blocks, B, B)).astype(np.float32)).astype(dt)
 
-    @jax.jit
     def einsum_form(v, x):
         xs = jnp.stack([x[radius + o: radius + o + r_blocks] for o in offs])
         return jnp.einsum("orij,orjf->rif", v, xs,
                           preferred_element_type=jnp.float32)
 
-    jax.block_until_ready(einsum_form(v_diag, xp))
-    per = _slope(lambda: einsum_form(v_diag, xp))
+    def make_loop_e(k):
+        @functools.partial(jax.jit, static_argnums=2)
+        def run(v, x, kk):
+            def body(i, c):
+                xi = x.at[0, 0, 0].add((c * 1e-12).astype(x.dtype))
+                return c + einsum_form(v, xi)[0, 0, 0] * 1e-12
+            return jax.lax.fori_loop(0, kk, body, jnp.float32(0.0))
+        return lambda: run(v_diag, xp, k)
+
+    per = _slope_looped(make_loop_e)
     results["einsum"] = per
     _report("P2 einsum", True, "{:.2f} ms".format(per * 1e3))
     print(results)
