@@ -55,11 +55,14 @@ __all__ = ["BandGraph", "split_band", "spmm_band"]
 # nodes) and XLA schedules the per-offset dots as separate loop nests. The
 # kernels below stream each (b, b) diagonal tile and its x slice exactly
 # once, revisiting the VMEM-resident output tile across offsets (the
-# standard Pallas reduction pattern, innermost grid dim = offsets), so HBM
-# traffic drops to the information-theoretic floor: V once, x O times
-# (distinct slices), y once. Dispatch: TPU backend -> kernels; anything
-# else -> the einsum form (identical numerics, asserted in
-# tests/test_spmm_band.py). MSG_BAND_PALLAS=0 forces the einsum form.
+# standard Pallas reduction pattern, innermost grid dim = offsets).
+# MEASURED OUTCOME (round 4): the per-tile kernels LOSE to the einsum on
+# chip — serving 18.3 vs 12.8 ms at 1M, training 0.225 vs 0.204 s at 49k
+# — one tile per grid step pays ~450 ns of grid/DMA overhead against
+# 21 ns of MXU work. The einsum form is therefore the default dispatch
+# everywhere (_pallas_mode); the kernels remain opt-in (MSG_BAND_PALLAS=1)
+# and parity-tested, and the slab-granular packed-band kernel
+# (band_fwd_slab_pallas) is the candidate that amortizes the overhead.
 
 
 @dataclass(frozen=True)
@@ -161,23 +164,25 @@ def _chunk_width(n_offs, n_blocks, block, feat, itemsize):
 
 
 def _pallas_mode(force_xla=False):
-    """None (einsum form) | 'real' | 'interpret'. Default: kernels on the
-    TPU backend, einsum anywhere else. MSG_BAND_PALLAS: 0 forces einsum,
-    1 forces real kernels, 'interpret' forces interpreter-mode kernels
-    (CPU parity tests). force_xla pins the einsum form — the distributed
-    boundary backend passes it through `_band_vjp`'s static args: Pallas
-    inside shard_map cannot be hardware-validated on a single attached
-    chip, while the einsum form's multichip compile is battle-tested
-    (tests/test_sparse_dist.py)."""
+    """None (einsum form, the DEFAULT everywhere) | 'real' | 'interpret'.
+
+    Measured on chip (round 4): the per-tile Pallas kernels LOSE to the
+    stacked einsum both serving (18.3 vs 12.8 ms at the 1M primitive —
+    ~450 ns grid overhead per 21 ns MXU dot) and training (0.225 vs
+    0.204 s at 49k, docs/bench/band49k_train_adp_einsum_r4.log), so the
+    einsum form is the default on every backend and the kernels stay
+    opt-in for experiments: MSG_BAND_PALLAS=1 forces them, 'interpret'
+    forces interpreter mode (CPU parity tests), 0 pins einsum explicitly.
+    force_xla pins einsum regardless — the distributed boundary backend
+    passes it through `_band_vjp`'s static args (Pallas inside shard_map
+    cannot be hardware-validated on a single attached chip)."""
     if force_xla:
         return None
     flag = os.environ.get("MSG_BAND_PALLAS", "auto")
-    if flag == "0":
-        return None
+    if flag == "1":
+        return "real"
     if flag == "interpret":
         return "interpret"
-    if flag == "1" or jax.default_backend() == "tpu":
-        return "real"
     return None
 
 
