@@ -181,8 +181,8 @@ def _pallas_mode(force_xla=False):
     flag = os.environ.get("MSG_BAND_PALLAS", "auto")
     if flag == "1":
         return "real"
-    if flag == "interpret":
-        return "interpret"
+    if flag in ("interpret", "slab", "slab-interpret"):
+        return flag
     return None
 
 
@@ -476,16 +476,76 @@ def band_dx_pallas(band_values, dy, offs, radius, out_dtype, interpret=False):
     return dxp.astype(out_dtype)
 
 
-def _band_apply(band_values, xp, offs, radius, use_xla=False):
+def _slab_viable(offs, radius, feat, block=128):
+    """The packed-band slab kernel pays for the FULL [-r, r] span: worth it
+    when the kept offsets fill at least half the span (zero columns are
+    wasted stream/compute) and the scratch slabs fit VMEM."""
+    if radius == 0:
+        return False
+    w = (2 * radius + 1) * block
+    fill = len(offs) / (2 * radius + 1)
+    # scratch at the smallest chunking (cr=2, n_buf=2, feature chunk <=512)
+    fc = min(feat, 512)
+    vmem = 2 * 2 * block * w * 2 + 2 * (2 + 2 * radius) * block * fc * 2 \
+        + 2 * block * fc * 4
+    return fill >= 0.5 and vmem <= 12 * 2**20
+
+
+def band_fwd_slab(v, xp, offs, radius, interpret=False):
+    """Packed-band slab forward with feature chunking and VMEM-bounded
+    chunk_rows — the measured-fastest band SpMM on chip (4.3 vs the
+    einsum's 9.4 ms at the 1M shape, docs/bench/probe_band_stream_r4b.log).
+    The pack is a pure function of the loop-invariant values, so XLA
+    hoists it out of scans / bench loops — steady-state cost is the
+    kernel alone."""
+    import jax.numpy as jnp
+
+    v_pack = pack_band_rows(v, offs, radius)
+    feat = xp.shape[-1]
+    w = (2 * radius + 1) * xp.shape[1]
+    # bound scratch ~<=8 MB: 2 bufs x (cr x b x W in v.dtype + (cr+2r) x b
+    # x fc) + f32 out slab
+    fc = min(feat, 512)
+    block = xp.shape[1]
+    for cr in (16, 8, 4, 2):
+        vmem = 2 * cr * block * w * v.dtype.itemsize \
+            + 2 * (cr + 2 * radius) * block * fc * xp.dtype.itemsize \
+            + cr * block * fc * 4
+        if vmem <= 8 * 2**20:
+            break
+    outs = []
+    for lo in range(0, feat, fc):
+        outs.append(band_fwd_slab_pallas(
+            v_pack, xp[:, :, lo:lo + fc], radius, chunk_rows=cr,
+            interpret=interpret))
+    y = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=-1)
+    return y.astype(xp.dtype)
+
+
+def _band_apply(band_values, xp, offs, radius, use_xla=False,
+                grad_path=False):
     import jax.numpy as jnp
 
     n_blocks = xp.shape[0] - 2 * radius
     feat = xp.shape[-1]
     v = band_values.astype(xp.dtype)
     mode = _pallas_mode(use_xla)
+    if mode in ("slab", "slab-interpret"):
+        return band_fwd_slab(v, xp, offs, radius,
+                             interpret=mode == "slab-interpret")
     if mode is not None:
         return band_fwd_pallas(v, xp, offs, radius,
                                interpret=mode == "interpret")
+    # auto default on TPU, SERVING path only: the slab kernel is the
+    # measured-fastest forward (2.2x the einsum at the 1M shape), but its
+    # pack is ~1.2 GB of program temp at 1M — under the remat'd training
+    # step that temp recomputes inside the scan and OOM'd the 1M training
+    # point (docs/bench/train1m_band_t8_einsum_r4.log), so the
+    # grad-traced forward keeps the einsum form.
+    if (not grad_path and not use_xla and jax.default_backend() == "tpu"
+            and os.environ.get("MSG_BAND_PALLAS", "auto") == "auto"
+            and _slab_viable(offs, radius, feat)):
+        return band_fwd_slab(v, xp, offs, radius)
     # CPU's XLA cannot execute BATCHED bf16 x bf16 -> f32 dots (DotThunk);
     # upcast the einsum there. On TPU (force_xla distributed path) the
     # batched bf16 dot is native — keep it narrow.
@@ -508,7 +568,9 @@ def _band_vjp(band_values, xp, offs, radius, use_xla=False):
 
 
 def _band_fwd(band_values, xp, offs, radius, use_xla=False):
-    return _band_apply(band_values, xp, offs, radius, use_xla), (band_values, xp)
+    return (_band_apply(band_values, xp, offs, radius, use_xla,
+                        grad_path=True),
+            (band_values, xp))
 
 
 def _band_bwd(offs, radius, use_xla, res, dy):
@@ -526,6 +588,8 @@ def _band_bwd(offs, radius, use_xla, res, dy):
     dyc = dy.astype(xp.dtype)
     v = band_values.astype(xp.dtype)
     mode = _pallas_mode(use_xla)
+    if mode in ("slab", "slab-interpret"):
+        mode = None  # slab is a FORWARD fast path; backward is einsum algebra
     if mode is not None:
         interp = mode == "interpret"
         dv = band_dv_pallas(dyc, xp, offs, radius, band_values.dtype,

@@ -258,3 +258,29 @@ def test_band_slab_kernel_matches_dense(rng):
     want_t = (full.T @ dy.reshape(-1, 16)).reshape(nb, BLOCK, -1)
     np.testing.assert_allclose(np.asarray(got_t), want_t, atol=2e-4,
                                rtol=2e-4)
+
+
+def test_band_slab_dispatch_through_spmm_band(rng, monkeypatch):
+    """MSG_BAND_PALLAS=slab-interpret routes spmm_band's FORWARD through
+    the packed-band slab kernel (the measured-fastest form on chip);
+    gradients flow through the einsum backward unchanged."""
+    src, dst, w = _band_graph(rng, num_edges=2000, noise_frac=0.0)
+    bg = split_band(src, dst, w, N, BLOCK)
+    full = jnp.asarray(_dense(src, dst, w))
+    x = jnp.asarray(rng.normal(size=(bg.padded_nodes, 8)).astype(np.float32))
+    t = jnp.asarray(rng.normal(size=(bg.padded_nodes, 8)).astype(np.float32))
+    v = jnp.asarray(bg.band_values)
+
+    monkeypatch.setenv("MSG_BAND_PALLAS", "slab-interpret")
+    y = spmm_band(v, bg.offsets, x, block=BLOCK)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(full @ x),
+                               atol=2e-4, rtol=2e-4)
+
+    def loss(vals, xx):
+        return jnp.sum(spmm_band(vals, bg.offsets, xx, block=BLOCK) * t)
+
+    gv, gx = jax.grad(loss, argnums=(0, 1))(v, x)
+    gx_dense = jax.grad(lambda xx: jnp.sum((full @ xx) * t))(x)
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(gx_dense),
+                               atol=2e-4, rtol=2e-4)
+    assert np.isfinite(np.asarray(gv)).all()
