@@ -482,6 +482,11 @@ def _slab_viable(offs, radius, feat, block=128):
     wasted stream/compute) and the scratch slabs fit VMEM."""
     if radius == 0:
         return False
+    if feat % 128:
+        # the slab kernel's in-kernel DMA requires the trailing dim
+        # 128-aligned (Mosaic memref_slice tiling) — narrow-feature calls
+        # (e.g. the model's B*C-flattened aggregations) keep the einsum
+        return False
     w = (2 * radius + 1) * block
     fill = len(offs) / (2 * radius + 1)
     # scratch at the smallest chunking (cr=2, n_buf=2, feature chunk <=512)

@@ -255,7 +255,68 @@ def main():
     p3 = probe_slice_reshape(args.interpret)
     if not args.small:
         probe_streams(args.interpret)
+        probe_integration()
     print("probes done p1={} p3={}".format(p1, p3))
+
+
+
+
+def probe_integration():
+    """P4: where does the slab win go in the integrated path? Times, in the
+    same in-jit fori_loop harness: (a) the raw slab kernel on pre-packed
+    values (probe baseline), (b) band_fwd_slab (pack inside jit,
+    loop-invariant), (c) full spmm_band dispatch (pad+reshape wrapper)."""
+    import functools
+
+    from multistgraph_tpu.ops.band import (
+        band_fwd_slab, band_fwd_slab_pallas, pack_band_rows, spmm_band)
+
+    radius, feat = 2, 128
+    n_off = 2 * radius + 1
+    r_blocks = 8192
+    w = n_off * B
+    rng = np.random.default_rng(3)
+    dt = jnp.bfloat16
+    offs = tuple(range(-radius, radius + 1))
+    v_diag = jnp.asarray(rng.normal(size=(n_off, r_blocks, B, B))
+                         .astype(np.float32)).astype(dt)
+    v_pack = jnp.asarray(np.asarray(
+        pack_band_rows(np.asarray(v_diag, np.float32), offs, radius))
+    ).astype(dt)
+    xp = jnp.asarray(rng.normal(size=(r_blocks + 2 * radius, B, feat))
+                     .astype(np.float32)).astype(dt)
+    x_flat = jnp.asarray(rng.normal(size=(r_blocks * B, feat))
+                         .astype(np.float32)).astype(dt)
+
+    def harness(body, arg):
+        def make_loop(k):
+            @functools.partial(jax.jit, static_argnums=1)
+            def run(a, kk):
+                def it(i, c):
+                    ai = a.at[(0,) * a.ndim].add((c * 1e-12).astype(a.dtype))
+                    return c + body(ai).reshape(-1)[0].astype(jnp.float32) * 1e-12
+                return jax.lax.fori_loop(0, kk, it, jnp.float32(0.0))
+            return lambda: run(arg, k)
+        return _slope_looped(make_loop)
+
+    for cr in (8, 16):
+        per = harness(lambda xi, c=cr: band_fwd_slab_pallas(
+            v_pack, xi, radius, chunk_rows=c), xp)
+        _report("P4 raw slab cr={} (pre-packed)".format(cr), True,
+                "{:.2f} ms".format(per * 1e3))
+    per = harness(lambda xi: band_fwd_slab(v_diag, xi, offs, radius), xp)
+    _report("P4 band_fwd_slab (pack in jit)", True,
+            "{:.2f} ms".format(per * 1e3))
+    os.environ["MSG_BAND_PALLAS"] = "slab"
+    per = harness(lambda xi: spmm_band(v_diag, np.asarray(offs), xi,
+                                       block=B), x_flat)
+    _report("P4 spmm_band slab dispatch", True, "{:.2f} ms".format(per * 1e3))
+    os.environ["MSG_BAND_PALLAS"] = "0"
+    per = harness(lambda xi: spmm_band(v_diag, np.asarray(offs), xi,
+                                       block=B), x_flat)
+    _report("P4 spmm_band einsum dispatch", True,
+            "{:.2f} ms".format(per * 1e3))
+    del os.environ["MSG_BAND_PALLAS"]
 
 
 if __name__ == "__main__":
