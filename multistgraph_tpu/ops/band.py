@@ -476,6 +476,20 @@ def band_dx_pallas(band_values, dy, offs, radius, out_dtype, interpret=False):
     return dxp.astype(out_dtype)
 
 
+def _tile_kernels_for_training(n_blocks):
+    """HBM-driven training dispatch (auto mode, TPU backend): at the 1M
+    scale the feature-chunked einsum's stacked intermediates push the
+    remat'd training step's temp to 16.0G and OOM the chip, while the
+    per-tile Pallas kernels fit and step at 2.29 s; at 49k the einsum
+    fits comfortably and is 10% faster (0.204 vs 0.225 s). Cross over on
+    row-block count (4096 blocks = ~0.5M nodes). Both measured:
+    docs/bench/train1m_band_t8_einsum_r4.log (OOM),
+    band49k_train_adp_einsum_r4.log."""
+    return (n_blocks >= 4096
+            and os.environ.get("MSG_BAND_PALLAS", "auto") == "auto"
+            and jax.default_backend() == "tpu")
+
+
 def _slab_viable(offs, radius, feat, block=128):
     """The packed-band slab kernel pays for the FULL [-r, r] span: worth it
     when the kept offsets fill at least half the span (zero columns are
@@ -535,22 +549,14 @@ def _band_apply(band_values, xp, offs, radius, use_xla=False,
     feat = xp.shape[-1]
     v = band_values.astype(xp.dtype)
     mode = _pallas_mode(use_xla)
+    if mode is None and grad_path and _tile_kernels_for_training(n_blocks):
+        mode = "real"
     if mode in ("slab", "slab-interpret"):
         return band_fwd_slab(v, xp, offs, radius,
                              interpret=mode == "slab-interpret")
     if mode is not None:
         return band_fwd_pallas(v, xp, offs, radius,
                                interpret=mode == "interpret")
-    # auto default on TPU, SERVING path only: the slab kernel is the
-    # measured-fastest forward (2.2x the einsum at the 1M shape), but its
-    # pack is ~1.2 GB of program temp at 1M — under the remat'd training
-    # step that temp recomputes inside the scan and OOM'd the 1M training
-    # point (docs/bench/train1m_band_t8_einsum_r4.log), so the
-    # grad-traced forward keeps the einsum form.
-    if (not grad_path and not use_xla and jax.default_backend() == "tpu"
-            and os.environ.get("MSG_BAND_PALLAS", "auto") == "auto"
-            and _slab_viable(offs, radius, feat)):
-        return band_fwd_slab(v, xp, offs, radius)
     # CPU's XLA cannot execute BATCHED bf16 x bf16 -> f32 dots (DotThunk);
     # upcast the einsum there. On TPU (force_xla distributed path) the
     # batched bf16 dot is native — keep it narrow.
@@ -595,6 +601,8 @@ def _band_bwd(offs, radius, use_xla, res, dy):
     mode = _pallas_mode(use_xla)
     if mode in ("slab", "slab-interpret"):
         mode = None  # slab is a FORWARD fast path; backward is einsum algebra
+    if mode is None and _tile_kernels_for_training(n_blocks):
+        mode = "real"
     if mode is not None:
         interp = mode == "interpret"
         dv = band_dv_pallas(dyc, xp, offs, radius, band_values.dtype,
