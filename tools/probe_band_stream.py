@@ -250,7 +250,14 @@ def main():
     ap.add_argument("--interpret", action="store_true")
     ap.add_argument("--small", action="store_true",
                     help="tiny correctness-only sweep (CPU)")
+    ap.add_argument("--p4-only", action="store_true",
+                    help="skip P1-P3 (already recorded) — run only "
+                    "the integration-isolation timings")
     args = ap.parse_args()
+    if args.p4_only:
+        probe_integration()
+        print("probes done (p4 only)")
+        return
     p1 = probe_batched_dot(args.interpret)
     p3 = probe_slice_reshape(args.interpret)
     if not args.small:
