@@ -295,32 +295,36 @@ def probe_integration():
     x_flat = jnp.asarray(rng.normal(size=(r_blocks * B, feat))
                          .astype(np.float32)).astype(dt)
 
-    def harness(body, arg):
+    def harness(body, varg, xarg):
+        # BOTH operands ride as jit arguments — a closure-captured 1.3 GB
+        # value tensor serializes into the compile request (HTTP 413)
         def make_loop(k):
-            @functools.partial(jax.jit, static_argnums=1)
-            def run(a, kk):
+            @functools.partial(jax.jit, static_argnums=2)
+            def run(v, a, kk):
                 def it(i, c):
                     ai = a.at[(0,) * a.ndim].add((c * 1e-12).astype(a.dtype))
-                    return c + body(ai).reshape(-1)[0].astype(jnp.float32) * 1e-12
+                    return c + body(v, ai).reshape(-1)[0].astype(
+                        jnp.float32) * 1e-12
                 return jax.lax.fori_loop(0, kk, it, jnp.float32(0.0))
-            return lambda: run(arg, k)
+            return lambda: run(varg, xarg, k)
         return _slope_looped(make_loop)
 
     for cr in (8, 16):
-        per = harness(lambda xi, c=cr: band_fwd_slab_pallas(
-            v_pack, xi, radius, chunk_rows=c), xp)
+        per = harness(lambda v, xi, c=cr: band_fwd_slab_pallas(
+            v, xi, radius, chunk_rows=c), v_pack, xp)
         _report("P4 raw slab cr={} (pre-packed)".format(cr), True,
                 "{:.2f} ms".format(per * 1e3))
-    per = harness(lambda xi: band_fwd_slab(v_diag, xi, offs, radius), xp)
+    per = harness(lambda v, xi: band_fwd_slab(v, xi, offs, radius),
+                  v_diag, xp)
     _report("P4 band_fwd_slab (pack in jit)", True,
             "{:.2f} ms".format(per * 1e3))
     os.environ["MSG_BAND_PALLAS"] = "slab"
-    per = harness(lambda xi: spmm_band(v_diag, np.asarray(offs), xi,
-                                       block=B), x_flat)
+    per = harness(lambda v, xi: spmm_band(v, np.asarray(offs), xi,
+                                          block=B), v_diag, x_flat)
     _report("P4 spmm_band slab dispatch", True, "{:.2f} ms".format(per * 1e3))
     os.environ["MSG_BAND_PALLAS"] = "0"
-    per = harness(lambda xi: spmm_band(v_diag, np.asarray(offs), xi,
-                                       block=B), x_flat)
+    per = harness(lambda v, xi: spmm_band(v, np.asarray(offs), xi,
+                                          block=B), v_diag, x_flat)
     _report("P4 spmm_band einsum dispatch", True,
             "{:.2f} ms".format(per * 1e3))
     del os.environ["MSG_BAND_PALLAS"]
