@@ -511,23 +511,31 @@ def _slab_viable(offs, radius, feat, block=128):
 
 
 def band_fwd_slab(v, xp, offs, radius, interpret=False):
-    """Packed-band slab forward with feature chunking and VMEM-bounded
-    chunk_rows — the measured-fastest band SpMM on chip (4.3 vs the
-    einsum's 9.4 ms at the 1M shape, docs/bench/probe_band_stream_r4b.log).
-    The pack is a pure function of the loop-invariant values, so XLA
-    hoists it out of scans / bench loops — steady-state cost is the
-    kernel alone."""
+    """Slab forward from per-offset diagonal planes: packs in-program,
+    then `band_fwd_slab_packed`. CAVEAT (measured, P4 probes in
+    docs/bench/probe_band_integration_r4c.log): XLA does NOT hoist the
+    ~1.3 GB pack out of surrounding loops (memory-pressure LICM), so the
+    in-program pack costs ~6.5 ms per iteration at 1M — store values
+    PACKED (`pack_band_rows` once on host) and call
+    `spmm_band_packed` for the fast path (3.97 vs the einsum's 8.76 ms)."""
+    v_pack = pack_band_rows(v, offs, radius)
+    return band_fwd_slab_packed(v_pack, xp, radius, interpret=interpret)
+
+
+def band_fwd_slab_packed(v_pack, xp, radius, interpret=False):
+    """Feature-chunked, VMEM-bounded slab forward on PRE-PACKED values
+    (R, b, (2r+1)b) — the measured-fastest band SpMM on chip: 3.97 ms vs
+    the einsum's 8.76 at the 1M band shape (P4, in-jit slope)."""
     import jax.numpy as jnp
 
-    v_pack = pack_band_rows(v, offs, radius)
     feat = xp.shape[-1]
-    w = (2 * radius + 1) * xp.shape[1]
+    block = xp.shape[1]
+    w = v_pack.shape[-1]
     # bound scratch ~<=8 MB: 2 bufs x (cr x b x W in v.dtype + (cr+2r) x b
     # x fc) + f32 out slab
     fc = min(feat, 512)
-    block = xp.shape[1]
     for cr in (16, 8, 4, 2):
-        vmem = 2 * cr * block * w * v.dtype.itemsize \
+        vmem = 2 * cr * block * w * v_pack.dtype.itemsize \
             + 2 * (cr + 2 * radius) * block * fc * xp.dtype.itemsize \
             + cr * block * fc * 4
         if vmem <= 8 * 2**20:
@@ -539,6 +547,27 @@ def band_fwd_slab(v, xp, offs, radius, interpret=False):
             interpret=interpret))
     y = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=-1)
     return y.astype(xp.dtype)
+
+
+def spmm_band_packed(v_pack, radius, x, block: int = 128, interpret=False):
+    """Y = A_band @ X from the PACKED band matrix (R, b, (2r+1)b) — the
+    serving fast path (store packed once via `pack_band_rows`; 2.2x the
+    einsum form on chip). Forward-only building block: training keeps the
+    custom-VJP `spmm_band` on per-offset planes (HBM-dispatch table in
+    docs/DESIGN.md §4)."""
+    import jax.numpy as jnp
+
+    n_pad, feat = x.shape
+    n_blocks = n_pad // block
+    xb = x.reshape(n_blocks, block, feat)
+    if radius:
+        pad = jnp.zeros((radius, block, feat), x.dtype)
+        xp = jnp.concatenate([pad, xb, pad], axis=0)
+    else:
+        xp = xb
+    y = band_fwd_slab_packed(v_pack.astype(x.dtype), xp, radius,
+                             interpret=interpret)
+    return y.reshape(n_pad, feat).astype(x.dtype)
 
 
 def _band_apply(band_values, xp, offs, radius, use_xla=False,

@@ -284,3 +284,19 @@ def test_band_slab_dispatch_through_spmm_band(rng, monkeypatch):
     np.testing.assert_allclose(np.asarray(gx), np.asarray(gx_dense),
                                atol=2e-4, rtol=2e-4)
     assert np.isfinite(np.asarray(gv)).all()
+
+
+def test_spmm_band_packed_matches_dense(rng):
+    """spmm_band_packed (pre-packed serving fast path) equals dense."""
+    from multistgraph_tpu.ops.band import pack_band_rows, spmm_band_packed
+
+    src, dst, w = _band_graph(rng, num_edges=3000, noise_frac=0.0)
+    bg = split_band(src, dst, w, N, BLOCK)
+    full = _dense(src, dst, w)
+    radius = max(abs(int(o)) for o in bg.offsets)
+    v_pack = jnp.asarray(pack_band_rows(
+        bg.band_values, tuple(int(o) for o in bg.offsets), radius))
+    x = jnp.asarray(rng.normal(size=(bg.padded_nodes, 16)).astype(np.float32))
+    got = spmm_band_packed(v_pack, radius, x, block=BLOCK, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), full @ np.asarray(x),
+                               atol=2e-4, rtol=2e-4)

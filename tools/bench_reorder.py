@@ -98,7 +98,8 @@ def _bench_band(label, src, dst, w, num_nodes, feat, results,
 
     import jax.numpy as jnp
 
-    from multistgraph_tpu.ops.band import split_band, spmm_band
+    from multistgraph_tpu.ops.band import (
+        pack_band_rows, split_band, spmm_band, spmm_band_packed)
     from multistgraph_tpu.ops.hybrid import split_hub_columns, spmm_tail
     from tools.timing import slope_time
 
@@ -129,8 +130,21 @@ def _bench_band(label, src, dst, w, num_nodes, feat, results,
         rw = jnp.asarray(bg.rest_w[non_hub][order])
         rest_parts = (rw, rs, rd)
 
+    # packed slab path (serving fast path): pack ONCE host-side — XLA's
+    # LICM refuses to hoist the ~GB in-program pack (P4 probes,
+    # docs/bench/probe_band_integration_r4c.log)
+    packed = os.environ.get("MSG_BAND_BENCH", "") == "packed"
+    if packed:
+        radius = int(max(abs(int(o)) for o in bg.offsets)) if len(bg.offsets) else 0
+        bvals = jnp.asarray(pack_band_rows(
+            np.asarray(bg.band_values), tuple(int(o) for o in bg.offsets),
+            radius)).astype(cdt)
+
     def kernel(bv, xx):
-        y = spmm_band(bv, bg.offsets, xx, block=bg.block)
+        if packed:
+            y = spmm_band_packed(bv, radius, xx, block=bg.block)
+        else:
+            y = spmm_band(bv, bg.offsets, xx, block=bg.block)
         if hy.num_hubs > 0:
             y = y + hv @ jnp.take(xx, hc, axis=0)
         if rest_parts is not None:
@@ -167,6 +181,7 @@ def _bench_band(label, src, dst, w, num_nodes, feat, results,
         "num_hubs": int(hy.num_hubs),
         "num_tail_edges": n_tail,
         "dtype": dtype,
+        "band_impl": "packed_slab" if packed else "einsum",
     }
     print("[{}] {}".format(label, results[label]), file=sys.stderr, flush=True)
 
