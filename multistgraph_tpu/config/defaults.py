@@ -314,6 +314,10 @@ DATA_DEFAULTS = {
         # hybrid graph representation: None | 'hub' | 'tail' | 'band'
         # (ops/hybrid.py, ops/band.py — docs/DESIGN.md §4)
         "graph_split": None,
+        # band form only: store the diagonals PACKED (R, b, (2r+1)b) so the
+        # slab kernel serves one MXU dot per output tile (ops/band.py
+        # spmm_band_packed — the measured 1M serving fast path)
+        "graph_band_packed": False,
         "len_time": 240,
         "batch_size": 2,
         "pad_with_last_sample": True,

@@ -329,7 +329,16 @@ class SparseATGCN(nn.Module):
                                      support_prets):
             part = lambda k: jax.lax.stop_gradient(sv[k].value)
             y = None
-            if "band_values" in sv:
+            if "band_packed" in sv:
+                # pre-packed slab form (graph_band_packed): one MXU dot per
+                # output tile against a contiguous x window — the measured
+                # serving fast path at 1M nodes (ops/band.py, docs/DESIGN §4)
+                from multistgraph_tpu.ops.band import spmm_band_packed
+
+                y = spmm_band_packed(
+                    part("band_packed"), static["band_radius_static"],
+                    x_flat, block=self.block).astype(x_flat.dtype)
+            elif "band_values" in sv:
                 from multistgraph_tpu.ops.band import spmm_band
 
                 y = spmm_band(part("band_values"),
@@ -544,8 +553,24 @@ def build_sparse_atgcn(graph, config, interpret: bool = False) -> SparseATGCN:
         # full structured decomposition: band diagonals + hub columns of the
         # rest + COO tail of the leftovers (docs/DESIGN.md §4 — the fastest
         # 1M-node form). The adaptive view samples the band's block pattern.
-        support = {"band_values": jnp.asarray(graph.band_values),
-                   "band_offsets_static": _np.asarray(graph.offsets)}
+        if config.get("graph_band_packed", False):
+            # store the band PACKED (R, b, (2r+1)b): the slab kernel's
+            # serving fast path consumes it directly (pack once on host —
+            # XLA will not hoist an in-program pack out of the scan,
+            # measured P4 probe docs/bench/probe_band_integration_r4c.log)
+            from multistgraph_tpu.ops.band import pack_band_rows
+
+            radius = int(max(abs(int(o)) for o in graph.offsets)) \
+                if len(graph.offsets) else 0
+            support = {
+                "band_packed": jnp.asarray(pack_band_rows(
+                    graph.band_values, graph.offsets, radius)),
+                "band_radius_static": radius,
+                "band_offsets_static": _np.asarray(graph.offsets),
+            }
+        else:
+            support = {"band_values": jnp.asarray(graph.band_values),
+                       "band_offsets_static": _np.asarray(graph.offsets)}
         hy = split_hub_columns(graph.rest_src, graph.rest_dst, graph.rest_w,
                                graph.num_nodes, graph.block)
         if hy.num_hubs > 0:

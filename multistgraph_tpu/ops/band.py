@@ -48,7 +48,8 @@ from dataclasses import dataclass
 import jax
 import numpy as np
 
-__all__ = ["BandGraph", "split_band", "spmm_band"]
+__all__ = ["BandGraph", "split_band", "spmm_band", "pack_band_rows",
+           "spmm_band_packed"]
 
 # Pallas band kernels (round 4): the stacked-einsum form materializes O
 # sliced copies of x (write + re-read: ~1.3 GB extra HBM round-trip at 1M
@@ -490,26 +491,6 @@ def _tile_kernels_for_training(n_blocks):
             and jax.default_backend() == "tpu")
 
 
-def _slab_viable(offs, radius, feat, block=128):
-    """The packed-band slab kernel pays for the FULL [-r, r] span: worth it
-    when the kept offsets fill at least half the span (zero columns are
-    wasted stream/compute) and the scratch slabs fit VMEM."""
-    if radius == 0:
-        return False
-    if feat % 128:
-        # the slab kernel's in-kernel DMA requires the trailing dim
-        # 128-aligned (Mosaic memref_slice tiling) — narrow-feature calls
-        # (e.g. the model's B*C-flattened aggregations) keep the einsum
-        return False
-    w = (2 * radius + 1) * block
-    fill = len(offs) / (2 * radius + 1)
-    # scratch at the smallest chunking (cr=2, n_buf=2, feature chunk <=512)
-    fc = min(feat, 512)
-    vmem = 2 * 2 * block * w * 2 + 2 * (2 + 2 * radius) * block * fc * 2 \
-        + 2 * block * fc * 4
-    return fill >= 0.5 and vmem <= 12 * 2**20
-
-
 def band_fwd_slab(v, xp, offs, radius, interpret=False):
     """Slab forward from per-offset diagonal planes: packs in-program,
     then `band_fwd_slab_packed`. CAVEAT (measured, P4 probes in
@@ -549,10 +530,108 @@ def band_fwd_slab_packed(v_pack, xp, radius, interpret=False):
     return y.astype(xp.dtype)
 
 
+def _packed_slab_ok(radius, feat, block, itemsize_x, itemsize_v):
+    """Slab-kernel viability for the PACKED form (all 2r+1 slots stored, so
+    fill is moot): Mosaic's in-kernel DMA needs the trailing dim 128-aligned,
+    and the double-buffered scratch must fit VMEM at the smallest chunking
+    (cr=2, feature chunk <=512)."""
+    if radius == 0 or feat % 128:
+        return False
+    w = (2 * radius + 1) * block
+    fc = min(feat, 512)
+    vmem = (2 * 2 * block * w * itemsize_v
+            + 2 * (2 + 2 * radius) * block * fc * itemsize_x
+            + 2 * block * fc * 4)
+    return vmem <= 12 * 2**20
+
+
+def _band_packed_apply(v_pack, xp, radius, interpret):
+    """Forward dispatch on the packed layout: slab kernel (interpret when
+    forced, real on TPU when 128-aligned + VMEM-viable), else the stacked
+    einsum directly on the (R, b, O, b)-viewed packed matrix (includes the
+    zero slots of absent offsets — fallback-path waste only)."""
+    import jax.numpy as jnp
+
+    if interpret:
+        return band_fwd_slab_packed(v_pack, xp, radius, interpret=True)
+    feat = xp.shape[-1]
+    block = xp.shape[1]
+    if (jax.default_backend() == "tpu"
+            and _packed_slab_ok(radius, feat, block, xp.dtype.itemsize,
+                                v_pack.dtype.itemsize)):
+        return band_fwd_slab_packed(v_pack, xp, radius)
+    n_off = 2 * radius + 1
+    n_blocks = xp.shape[0] - 2 * radius
+    vr = v_pack.reshape(n_blocks, block, n_off, block)
+    ed = jnp.float32 if (v_pack.dtype == jnp.bfloat16
+                         and jax.default_backend() != "tpu") else xp.dtype
+    fc = _chunk_width(n_off, n_blocks, block, feat, xp.dtype.itemsize)
+    outs = []
+    for lo in range(0, feat, fc):
+        xs = jnp.stack([xp[j : j + n_blocks, :, lo:lo + fc]
+                        for j in range(n_off)])
+        outs.append(jnp.einsum("rijw,jrwf->rif", vr.astype(ed), xs.astype(ed),
+                               preferred_element_type=jnp.float32))
+    y = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=-1)
+    return y.astype(xp.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _band_packed_vjp(v_pack, xp, radius, interpret):
+    return _band_packed_apply(v_pack, xp, radius, interpret)
+
+
+def _band_packed_fwd(v_pack, xp, radius, interpret):
+    return _band_packed_apply(v_pack, xp, radius, interpret), (v_pack, xp)
+
+
+def _band_packed_bwd(radius, interpret, res, dy):
+    """Band-algebra backward in the PACKED layout (mirrors `_band_bwd`):
+    dV_pack[r,i,(j,w)] = sum_f dY[r,i,f] Xp[r+j,w,f]  — one sampled
+    outer-product einsum over the same stacked x windows as the forward;
+    dXp[j:j+R]        += V_view[:, :, j]^T dY         — 2r+1 static shifted
+    adds of feature-chunked batched matmuls. Keeps autodiff out of the
+    overlapping pad-and-add chain, same discipline as `_band_bwd`."""
+    import jax.numpy as jnp
+
+    v_pack, xp = res
+    n_blocks = xp.shape[0] - 2 * radius
+    block = xp.shape[1]
+    feat = xp.shape[-1]
+    n_off = 2 * radius + 1
+    dyc = dy.astype(xp.dtype)
+    vr = v_pack.reshape(n_blocks, block, n_off, block).astype(xp.dtype)
+    ed = jnp.float32 if (v_pack.dtype == jnp.bfloat16
+                         and jax.default_backend() != "tpu") else xp.dtype
+    fc = _chunk_width(n_off, n_blocks, block, feat, xp.dtype.itemsize)
+    dv = None
+    dxp = jnp.zeros(xp.shape, jnp.float32)
+    for lo in range(0, feat, fc):
+        dy_c = dyc[:, :, lo:lo + fc]
+        xs = jnp.stack([xp[j : j + n_blocks, :, lo:lo + fc]
+                        for j in range(n_off)])
+        dv_c = jnp.einsum("rif,jrwf->rijw", dy_c.astype(ed), xs.astype(ed),
+                          preferred_element_type=jnp.float32)
+        dv = dv_c if dv is None else dv + dv_c
+        contrib = jnp.einsum("rijw,rif->jrwf", vr.astype(ed), dy_c.astype(ed),
+                             preferred_element_type=jnp.float32)
+        for j in range(n_off):
+            dxp = dxp.at[j : j + n_blocks, :, lo:lo + fc].add(contrib[j])
+    dv = dv.reshape(n_blocks, block, n_off * block)
+    return dv.astype(v_pack.dtype), dxp.astype(xp.dtype)
+
+
+_band_packed_vjp.defvjp(_band_packed_fwd, _band_packed_bwd)
+
+
 def spmm_band_packed(v_pack, radius, x, block: int = 128, interpret=False):
     """Y = A_band @ X from the PACKED band matrix (R, b, (2r+1)b) — the
-    serving fast path (store packed once via `pack_band_rows`; 2.2x the
-    einsum form on chip). Forward-only building block: training keeps the
+    serving fast path (store packed once via `pack_band_rows`; slab kernel
+    measured 2.2x the einsum form on chip at the 1M band shape, P4 probes
+    in docs/bench/probe_band_integration_r4c.log). Differentiable w.r.t.
+    v_pack and x through a hand-written packed-layout custom VJP; on
+    non-TPU backends (and non-128-aligned features) the forward falls back
+    to the stacked einsum on the packed view. Training at scale keeps the
     custom-VJP `spmm_band` on per-offset planes (HBM-dispatch table in
     docs/DESIGN.md §4)."""
     import jax.numpy as jnp
@@ -565,8 +644,7 @@ def spmm_band_packed(v_pack, radius, x, block: int = 128, interpret=False):
         xp = jnp.concatenate([pad, xb, pad], axis=0)
     else:
         xp = xb
-    y = band_fwd_slab_packed(v_pack.astype(x.dtype), xp, radius,
-                             interpret=interpret)
+    y = _band_packed_vjp(v_pack.astype(x.dtype), xp, int(radius), interpret)
     return y.reshape(n_pad, feat).astype(x.dtype)
 
 

@@ -59,6 +59,7 @@ GENERAL_ARGUMENTS = {
     "embed_dim_node": int,
     "len_time": int,
     "graph_split": str,          # none | hub | tail | band (docs/DESIGN.md §4)
+    "graph_band_packed": str2bool,  # band form stored pre-packed (slab serving path)
     "compute_dtype": str,        # e.g. bfloat16 — mixed-precision training
     "remat": str2bool,           # rematerialize the time scan
     "adaptive_max_blocks": int,  # cap the adaptive pattern (HBM knob)

@@ -231,6 +231,44 @@ def test_band_decomposition_support_matches_plain_bsr(rng):
     assert np.abs(np.asarray(grads["node_vec1"])).sum() > 0
 
 
+def test_band_packed_support_matches_unpacked(rng):
+    """graph_band_packed=True stores the band PRE-PACKED (R, b, (2r+1)b)
+    and serves it through spmm_band_packed (the measured 1M slab fast
+    path, ops/band.py); predictions and gradients must match the
+    per-offset-plane band model exactly — same param tree, so checkpoints
+    move freely between the two storage forms."""
+    from multistgraph_tpu.ops.band import split_band
+
+    src, dst, w = _hub_edges(rng, num_edges=6000)
+    bg = split_band(src, dst, w, N_PAD, BLOCK, min_fill_frac=1.0)
+    assert len(bg.offsets) > 0
+    cfg = _config(adpadj="unidirection")
+    x = jnp.asarray(rng.normal(size=(2, 3, N_PAD, 1)).astype(np.float32))
+    m_plane = build_sparse_atgcn(bg, cfg, interpret=True)
+    p_plane = init_with_graph(m_plane, jax.random.PRNGKey(0), x)
+    m_pack = build_sparse_atgcn(bg, {**cfg, "graph_band_packed": True},
+                                interpret=True)
+    p_pack = init_with_graph(m_pack, jax.random.PRNGKey(0), x)
+    assert set(p_plane["params"]) == set(p_pack["params"])
+    assert "support0_band_packed" in p_pack["graph"]
+    assert "support0_band_values" not in p_pack["graph"]
+
+    def loss(model, graph, trainable):
+        return jnp.mean(jnp.square(model.apply(
+            {"params": trainable, "graph": graph}, x, train=False)))
+
+    v_plane, g_plane = jax.value_and_grad(
+        lambda t: loss(m_plane, p_plane["graph"], t))(p_plane["params"])
+    v_pack, g_pack = jax.value_and_grad(
+        lambda t: loss(m_pack, p_pack["graph"], t))(p_plane["params"])
+    np.testing.assert_allclose(float(v_pack), float(v_plane),
+                               atol=2e-5, rtol=2e-5)
+    for k in g_plane:
+        np.testing.assert_allclose(
+            np.asarray(g_pack[k]), np.asarray(g_plane[k]),
+            atol=2e-4, rtol=2e-3, err_msg=k)
+
+
 def test_bf16_compute_dtype_trains_close_to_f32(rng):
     """compute_dtype='bfloat16' (the 1M-HBM-fit mode, docs/DESIGN.md §4):
     graph arrays are STORED bf16, activations/pools stream bf16, params and

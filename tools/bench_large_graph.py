@@ -58,6 +58,12 @@ def main():
                     help="cap the adaptive view's sampled pattern to the K "
                     "statically-heaviest blocks (0 = full pattern); the "
                     "HBM knob that fits adaptive training at 1M nodes")
+    ap.add_argument("--serve", action="store_true",
+                    help="measure forward-only PREDICT latency instead of "
+                    "the training step (the 1M serving surface)")
+    ap.add_argument("--band-packed", action="store_true",
+                    help="band split: store the diagonals pre-packed so the "
+                    "slab kernel serves them (graph_band_packed)")
     ap.add_argument("--adpadj", choices=("unidirection", "none"),
                     default="unidirection",
                     help="'none' drops the learned adaptive view — at 1M "
@@ -106,6 +112,7 @@ def main():
         "adaptive_max_blocks": cli.adaptive_max_blocks,
         "remat": True,
         "compute_dtype": "bfloat16" if cli.dtype == "bf16" else None,
+        "graph_band_packed": cli.band_packed,
     }
     model = build_sparse_atgcn(graph, cfg, interpret=cli.interpret)
     rng = np.random.default_rng(0)
@@ -115,6 +122,51 @@ def main():
     params = init_with_graph(model, jax.random.PRNGKey(0), x)
     jax.tree_util.tree_map(lambda a: a.block_until_ready(), params)
     print("init {:.1f}s".format(time.time() - t0), file=sys.stderr)
+
+    if cli.serve:
+        # forward-only predict latency (the serving surface) — one jitted
+        # apply. Sync via VALUE TRANSFER (tools/timing.device_sync):
+        # block_until_ready returns early through the axon relay, which
+        # made a naive timing loop read 0.75 ms for a ~43 GB/predict
+        # program. The ~28 ms dispatch bias is noise at this step size.
+        from tools.timing import device_sync
+
+        predict = jax.jit(lambda v, xx: model.apply(v, xx, train=False))
+        t0 = time.time()
+        compiled = predict.lower(params, x).compile()
+        compile_s = time.time() - t0
+        device_sync(compiled(params, x))  # warm
+        iters = cli.iters
+        t0 = time.time()
+        for _ in range(iters):
+            out = compiled(params, x)
+        device_sync(out)
+        step_s = (time.time() - t0) / iters
+        num_sup = len(model.supports) + (
+            1 if model.adaptive_pattern is not None else 0)
+        aggs = cfg["num_layers"] * t_steps * 2 * num_sup  # forward only
+        edges_s = nnz_edges * aggs * batch / step_s
+        scale = ("1m" if num_nodes >= 10**6
+                 else "{}k".format(round(num_nodes / 1024)))
+        print("serve {:.4f}s/predict | {:.3g} model edges/s".format(
+            step_s, edges_s), file=sys.stderr)
+        print(json.dumps({
+            "metric": "sparse_serve_latency_{}{}{}".format(
+                scale, "" if split == "none" else "_" + split,
+                "_packed" if cli.band_packed else ""),
+            "value": round(step_s * 1e3, 2),
+            "unit": "ms",
+            "extras": {
+                "edges_per_second": round(edges_s),
+                "compile_seconds": round(compile_s, 1),
+                "num_nodes": num_nodes, "split": split,
+                "dtype": cli.dtype, "t_steps": t_steps, "batch": batch,
+                "adpadj": cli.adpadj, "band_packed": cli.band_packed,
+                "nnz_edges": nnz_edges,
+                "device": jax.devices()[0].platform,
+            },
+        }))
+        return
 
     tx = optax.chain(optax.clip_by_global_norm(5.0), optax.adam(1e-3))
     opt_state = tx.init(params["params"])
