@@ -556,10 +556,22 @@ def _band_packed_apply(v_pack, xp, radius, interpret):
         return band_fwd_slab_packed(v_pack, xp, radius, interpret=True)
     feat = xp.shape[-1]
     block = xp.shape[1]
-    if (jax.default_backend() == "tpu"
-            and _packed_slab_ok(radius, feat, block, xp.dtype.itemsize,
-                                v_pack.dtype.itemsize)):
-        return band_fwd_slab_packed(v_pack, xp, radius)
+    if jax.default_backend() == "tpu":
+        # Mosaic's in-kernel DMA needs the trailing dim 128-aligned: PAD the
+        # feature axis rather than fall back — the value-slab stream
+        # (R*b*(2r+1)b bytes) dominates the kernel, so padded x/output
+        # columns are minor waste while the einsum form's O stacked x
+        # copies are the measured loser (docs/DESIGN.md §4 serving table)
+        fpad = -feat % 128
+        feat_p = feat + fpad
+        if _packed_slab_ok(radius, feat_p, block, xp.dtype.itemsize,
+                           v_pack.dtype.itemsize):
+            import jax.numpy as _jnp
+
+            if fpad:
+                xp = _jnp.pad(xp, ((0, 0), (0, 0), (0, fpad)))
+            y = band_fwd_slab_packed(v_pack, xp, radius)
+            return y[..., :feat] if fpad else y
     n_off = 2 * radius + 1
     n_blocks = xp.shape[0] - 2 * radius
     vr = v_pack.reshape(n_blocks, block, n_off, block)

@@ -136,12 +136,21 @@ def main():
         compiled = predict.lower(params, x).compile()
         compile_s = time.time() - t0
         device_sync(compiled(params, x))  # warm
+        # sync EVERY iteration: letting executions queue makes the runtime
+        # hold one temp allocation PER in-flight program (the 1M forward's
+        # temp is most of HBM -> ResourceExhausted). The per-sync dispatch
+        # round-trip is measured with a trivial program and subtracted.
+        tiny = jax.jit(lambda a: a + 1.0)
+        device_sync(tiny(jnp.float32(0)))
+        t0 = time.time()
+        for _ in range(8):
+            device_sync(tiny(jnp.float32(0)))
+        floor_s = (time.time() - t0) / 8
         iters = cli.iters
         t0 = time.time()
         for _ in range(iters):
-            out = compiled(params, x)
-        device_sync(out)
-        step_s = (time.time() - t0) / iters
+            device_sync(compiled(params, x))
+        step_s = (time.time() - t0) / iters - floor_s
         num_sup = len(model.supports) + (
             1 if model.adaptive_pattern is not None else 0)
         aggs = cfg["num_layers"] * t_steps * 2 * num_sup  # forward only
