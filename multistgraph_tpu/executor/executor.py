@@ -529,7 +529,29 @@ class TrafficStateExecutor:
             self.params, self.opt_state = blob["params"], blob["opt_state"]
             return
         with open(cache_name, "rb") as f:
-            blob = flax.serialization.from_bytes(self._checkpoint_blob(), f.read())
+            data = f.read()
+        template = self._checkpoint_blob()
+        try:
+            blob = flax.serialization.from_bytes(template, data)
+        except (ValueError, KeyError):
+            # The non-trainable 'graph' collection's STORAGE FORM can differ
+            # between save and load (e.g. a band graph trained on per-offset
+            # planes, served with graph_band_packed=True slabs). The graph
+            # arrays are re-derived by attach_graph at executor init and are
+            # numerically the same operator, so keep the attached form and
+            # restore everything else (trainable params, opt_state, epoch).
+            raw = flax.serialization.msgpack_restore(data)
+            tmpl_graph = template["params"].get("graph")
+            raw_graph = raw.get("params", {}).get("graph")
+            if tmpl_graph is None or raw_graph is None or \
+                    set(raw_graph) == set(tmpl_graph):
+                raise  # not a graph-form mismatch — surface the real error
+            self._logger.info(
+                "Checkpoint graph collection %s differs from the attached "
+                "form %s; keeping the attached graph arrays",
+                sorted(raw_graph), sorted(tmpl_graph))
+            raw["params"]["graph"] = flax.serialization.to_state_dict(tmpl_graph)
+            blob = flax.serialization.from_state_dict(template, raw)
         self.params, self.opt_state = blob["params"], blob["opt_state"]
 
     def _epoch_path(self, epoch: int) -> str:

@@ -97,3 +97,42 @@ def test_sparse_pipeline_graph_split_forms(tmp_path):
             },
         )
         assert np.isfinite(result["masked_MAE"]).all(), split
+
+
+def test_band_checkpoint_moves_between_storage_forms(tmp_path):
+    """A checkpoint trained on per-offset band PLANES loads into the
+    PACKED-slab serving form (graph_band_packed=True) through the real
+    executor.load_model path — the graph collection's storage form differs,
+    so the restore keeps the attached (re-derived) graph arrays and the
+    evaluation metrics are identical to re-evaluating the plane form."""
+    common = {
+        "output_dir": str(tmp_path / "out"),
+        "exp_id": "band_ckpt",
+        "num_nodes": 300,
+        "avg_degree": 8,
+        "len_time": 120,
+        "graph_split": "band",
+        "input_window": 8,
+        "output_window": 2,
+        "batch_size": 4,
+        "rnn_units": 8,
+        "embed_dim_adj": 4,
+        "adpadj": "none",
+        "num_layers": 1,
+        "remat": False,
+        "max_epoch": 1,
+        "use_early_stop": False,
+        "pallas_interpret": True,
+        "seed": 0,
+    }
+    kw = dict(task="traffic_state_pred", model_name="SparseATGCN",
+              dataset_name="SYN_LARGE_CKPT")
+    trained = run_model(other_args=common, **kw)
+    plane = run_model(other_args={**common, "train": False}, **kw)
+    packed = run_model(
+        other_args={**common, "train": False, "graph_band_packed": True}, **kw)
+    np.testing.assert_allclose(np.asarray(plane["masked_MAE"]),
+                               np.asarray(trained["masked_MAE"]), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(packed["masked_MAE"]),
+                               np.asarray(plane["masked_MAE"]),
+                               rtol=1e-4, atol=1e-5)
