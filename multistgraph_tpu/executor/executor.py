@@ -42,12 +42,11 @@ from multistgraph_tpu.utils import ensure_dir, get_logger
 def _enable_compilation_cache(cache_dir: str) -> None:
     """Persistent XLA compilation cache: makes re-runs skip all compiles.
 
-    OPT-IN (``compilation_cache_dir`` in config): serializing every
-    executable is where the win would be, but PJRT CPU executable
-    serialization segfaults intermittently after hundreds of in-process
-    compiles (observed as suite-wide SIGSEGV/SIGABRT inside
-    ``put_executable_and_time``), and a remote-compile relay bypasses the
-    cache entirely — so it must not be on by default."""
+    Default ON for platform==tpu only (``compilation_cache_dir: "auto"``),
+    explicit path opts in anywhere, empty/None opts out. It must stay off on
+    CPU: PJRT CPU executable serialization segfaults intermittently after
+    hundreds of in-process compiles (observed as suite-wide SIGSEGV/SIGABRT
+    inside ``put_executable_and_time``)."""
     try:
         if jax.config.jax_compilation_cache_dir is None:
             ensure_dir(cache_dir)
@@ -74,8 +73,22 @@ class TrafficStateExecutor:
         self.output_dim = config.get("output_dim", 1)
 
         output_root = config.get("output_dir", "./outputs")
-        if config.get("compilation_cache_dir"):
-            _enable_compilation_cache(config["compilation_cache_dir"])
+        cache_cfg = config.get("compilation_cache_dir", "auto")
+        if cache_cfg == "auto":
+            # ON by default on TPU (cuts the 30-300 s warmup compile of every
+            # re-run to seconds); stays OFF on CPU, where PJRT executable
+            # serialization segfaults after hundreds of in-process compiles
+            # (see _enable_compilation_cache). Opt out with
+            # compilation_cache_dir: null / "".
+            try:
+                platform = jax.default_backend()
+            except Exception:  # pragma: no cover - backend init failure
+                platform = "cpu"
+            if platform == "tpu":
+                _enable_compilation_cache(
+                    os.path.join(output_root, "xla_cache"))
+        elif cache_cfg:
+            _enable_compilation_cache(cache_cfg)
         self.cache_dir = os.path.join(output_root, str(self.exp_id), "model_cache")
         self.evaluate_res_dir = os.path.join(output_root, str(self.exp_id), "evaluate_cache")
         self.summary_dir = os.path.join(output_root, str(self.exp_id))
@@ -524,8 +537,36 @@ class TrafficStateExecutor:
             import orbax.checkpoint as ocp
 
             path = os.path.abspath(cache_name) + ".orbax"
+            template = self._checkpoint_blob()
             with ocp.StandardCheckpointer() as ckptr:
-                blob = ckptr.restore(path, self._checkpoint_blob())
+                try:
+                    blob = ckptr.restore(path, template)
+                except Exception:
+                    # Same band storage-form migration as the msgpack path:
+                    # restore WITHOUT a template (raw pytree), verify the only
+                    # graph-key difference is the band_values <-> band_packed
+                    # substitution, keep the attached (re-derived) graph
+                    # arrays, and take everything else from the checkpoint.
+                    raw = ckptr.restore(path)
+                    tmpl_graph = template["params"].get("graph")
+                    raw_graph = (raw or {}).get("params", {}).get("graph")
+                    if tmpl_graph is None or raw_graph is None:
+                        raise
+
+                    def _norm(keys):
+                        return {k.replace("band_packed", "band_values")
+                                for k in keys
+                                if not k.endswith("band_radius_static")}
+
+                    if _norm(raw_graph) != _norm(tmpl_graph):
+                        raise
+                    self._logger.info(
+                        "Orbax checkpoint graph collection %s differs from "
+                        "the attached form %s; keeping the attached graph "
+                        "arrays", sorted(raw_graph), sorted(tmpl_graph))
+                    raw["params"]["graph"] = flax.serialization.to_state_dict(
+                        tmpl_graph)
+                    blob = flax.serialization.from_state_dict(template, raw)
             self.params, self.opt_state = blob["params"], blob["opt_state"]
             return
         with open(cache_name, "rb") as f:
@@ -546,6 +587,18 @@ class TrafficStateExecutor:
             if tmpl_graph is None or raw_graph is None or \
                     set(raw_graph) == set(tmpl_graph):
                 raise  # not a graph-form mismatch — surface the real error
+            # Only the KNOWN band storage-form substitution is re-derivable
+            # (per-offset planes <-> pre-packed slabs of the SAME supports);
+            # any other key-set difference (different graph_split, different
+            # dataset) must stay a hard error, not a silent partial load.
+            def _norm(keys):
+                # the packed form adds `*band_radius_static` alongside
+                # renaming `band_values` -> `band_packed`
+                return {k.replace("band_packed", "band_values") for k in keys
+                        if not k.endswith("band_radius_static")}
+
+            if _norm(raw_graph) != _norm(tmpl_graph):
+                raise
             self._logger.info(
                 "Checkpoint graph collection %s differs from the attached "
                 "form %s; keeping the attached graph arrays",

@@ -512,14 +512,11 @@ def band_fwd_slab_packed(v_pack, xp, radius, interpret=False):
     feat = xp.shape[-1]
     block = xp.shape[1]
     w = v_pack.shape[-1]
-    # bound scratch ~<=8 MB: 2 bufs x (cr x b x W in v.dtype + (cr+2r) x b
-    # x fc) + f32 out slab
     fc = min(feat, 512)
     for cr in (16, 8, 4, 2):
-        vmem = 2 * cr * block * w * v_pack.dtype.itemsize \
-            + 2 * (cr + 2 * radius) * block * fc * xp.dtype.itemsize \
-            + cr * block * fc * 4
-        if vmem <= 8 * 2**20:
+        if _slab_vmem(cr, block, w, radius, fc,
+                      xp.dtype.itemsize, v_pack.dtype.itemsize) \
+                <= _SLAB_VMEM_BUDGET:
             break
     outs = []
     for lo in range(0, feat, fc):
@@ -530,19 +527,31 @@ def band_fwd_slab_packed(v_pack, xp, radius, interpret=False):
     return y.astype(xp.dtype)
 
 
+# ONE budget for both the dispatch gate (_packed_slab_ok) and the
+# chunk-size selection (band_fwd_slab_packed): the gate must never admit a
+# shape the chunk loop cannot satisfy at its smallest chunking (ADVICE r4).
+_SLAB_VMEM_BUDGET = 12 * 2**20
+
+
+def _slab_vmem(cr, block, w, radius, fc, itemsize_x, itemsize_v):
+    """Scratch bytes of the slab kernel at chunk_rows=cr: 2 double-buffered
+    value slabs + 2 double-buffered x slabs + the f32 output slab."""
+    return (2 * cr * block * w * itemsize_v
+            + 2 * (cr + 2 * radius) * block * fc * itemsize_x
+            + cr * block * fc * 4)
+
+
 def _packed_slab_ok(radius, feat, block, itemsize_x, itemsize_v):
     """Slab-kernel viability for the PACKED form (all 2r+1 slots stored, so
     fill is moot): Mosaic's in-kernel DMA needs the trailing dim 128-aligned,
     and the double-buffered scratch must fit VMEM at the smallest chunking
-    (cr=2, feature chunk <=512)."""
+    (cr=2, feature chunk <=512) — the exact bound the chunk loop enforces."""
     if radius == 0 or feat % 128:
         return False
     w = (2 * radius + 1) * block
     fc = min(feat, 512)
-    vmem = (2 * 2 * block * w * itemsize_v
-            + 2 * (2 + 2 * radius) * block * fc * itemsize_x
-            + 2 * block * fc * 4)
-    return vmem <= 12 * 2**20
+    return _slab_vmem(2, block, w, radius, fc,
+                      itemsize_x, itemsize_v) <= _SLAB_VMEM_BUDGET
 
 
 def _band_packed_apply(v_pack, xp, radius, interpret):

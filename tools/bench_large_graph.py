@@ -150,7 +150,11 @@ def main():
         t0 = time.time()
         for _ in range(iters):
             device_sync(compiled(params, x))
-        step_s = (time.time() - t0) / iters - floor_s
+        raw_step_s = (time.time() - t0) / iters
+        # the dispatch floor is measured on a different (trivial) program;
+        # for fast programs the subtraction can go <=0 — clamp so the JSON
+        # metric can never report a negative latency / absurd edges/s
+        step_s = max(raw_step_s - floor_s, 1e-6)
         num_sup = len(model.supports) + (
             1 if model.adaptive_pattern is not None else 0)
         aggs = cfg["num_layers"] * t_steps * 2 * num_sup  # forward only

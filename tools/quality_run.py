@@ -52,8 +52,10 @@ SHAPES = {
     # README.md:44-53 dataset statistics for DC and Baltimore
     "dc": dict(name="SYN_DC237", num_nodes=237, node_mean=30.169, node_std=84.023,
                output_window=24),
+    # output_window 24 so the summary covers the reference's full horizon set
+    # {3, 6, 12, 24} (result_convert.py:73) on Baltimore too (VERDICT r4 §2)
     "bm": dict(name="SYN_BM403", num_nodes=403, node_mean=14.41, node_std=29.3,
-               output_window=12),
+               output_window=24),
 }
 
 # label -> (registered model name, config overrides)
