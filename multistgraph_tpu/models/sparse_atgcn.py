@@ -307,13 +307,16 @@ class SparseATGCN(nn.Module):
             band_adp = None
             if adaptive is not None and isinstance(adaptive[0], str):
                 band_adp, adaptive = (adaptive[1], adaptive[2]), None
+            # fold the (f32-accumulated) aggregation back to the compute
+            # dtype, exactly as the single-chip branch does below — without
+            # this the scan carry promotes to f32 under bf16 compute
             return boundary_aggregate(
                 self._bnd_arrays(), x_flat, self.dist_mesh, axis=self.dist_axis,
                 block=self.block, adaptive_values=adaptive, interpret=self.interpret,
                 band_offsets=self.dist_plan.band_offsets,
                 band_radius=self.dist_plan.band_radius,
                 adaptive_band=band_adp,
-            )
+            ).astype(x_flat.dtype)
         if support_prets is None:
             support_prets = [None] * len(self._support_vars)
 

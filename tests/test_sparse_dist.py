@@ -338,3 +338,43 @@ def test_partition_rejects_unknown_graph_type():
 
     with pytest.raises(TypeError, match="BandGraph"):
         partition_bsr_boundary(object(), 2)
+
+
+def test_dist_bf16_matches_single_chip_bf16(rng):
+    """compute_dtype='bfloat16' through the DISTRIBUTED backend (round 5):
+    the boundary aggregation accumulates f32 and must fold back to the
+    compute dtype before re-entering the scan — without that cast the carry
+    promotes to f32 and the scan fails to trace (the bug found AOT-compiling
+    the 1M multi-chip workload, tools/aot_multichip_1m.py). Loss must match
+    the single-chip bf16 model to bf16 tolerance."""
+    graph = _graph(rng)
+    cfg = _config(adpadj="unidirection", compute_dtype="bfloat16", remat=True)
+    mesh = make_mesh(4, axes=("node",))
+    single = build_sparse_atgcn(graph, cfg, interpret=True)
+    dist = build_sparse_atgcn_dist(graph, cfg, mesh, interpret=True)
+    x = jnp.asarray(rng.normal(size=(2, 3, N_PAD, 1)).astype(np.float32))
+    ps = init_with_graph(single, jax.random.PRNGKey(0), x)
+    pd = init_with_graph(dist, jax.random.PRNGKey(0), x)
+    pd = {"params": ps["params"], "graph": pd["graph"]}
+    x_sh = jax.device_put(x, NamedSharding(mesh, P(None, None, "node", None)))
+    y = jnp.asarray(np.abs(rng.normal(size=(2, 2, N_PAD, 1))).astype(np.float32))
+    y_sh = jax.device_put(y, NamedSharding(mesh, P(None, None, "node", None)))
+
+    def loss_of(model, params, xx, yy):
+        def loss_fn(trainable):
+            pred = model.apply({"params": trainable, "graph": params["graph"]},
+                               xx, train=False)
+            return jnp.abs(pred - yy).mean()
+
+        return jax.jit(jax.value_and_grad(loss_fn))(params["params"])
+
+    loss_s, grads_s = loss_of(single, ps, x, y)
+    loss_d, grads_d = loss_of(dist, pd, x_sh, y_sh)
+    # bf16 compute: forward/backward round differently through the exchange
+    # order, so tolerances are bf16-scale, not f32-scale
+    np.testing.assert_allclose(float(loss_d), float(loss_s), atol=2e-2, rtol=2e-2)
+    gn_s = float(jnp.sqrt(sum(jnp.sum(g.astype(jnp.float32) ** 2)
+                              for g in jax.tree_util.tree_leaves(grads_s))))
+    gn_d = float(jnp.sqrt(sum(jnp.sum(g.astype(jnp.float32) ** 2)
+                              for g in jax.tree_util.tree_leaves(grads_d))))
+    assert abs(gn_d - gn_s) <= 5e-2 + 5e-2 * gn_s, (gn_d, gn_s)
