@@ -27,14 +27,21 @@ def make_synthetic_dataset(
     node_std: float = 15.0,
     seed: int = 0,
     groupstd_normalize: bool = True,
+    node_stats=None,
 ) -> str:
     """Write a full synthetic dataset under `out_dir/name/`; returns its path.
 
     Produces .geo/.rel/.dyna/.ext/.static/.gbst + config.json matching the
     reference DC schema (data_col=['Visits'], ext cols holiday/weekend/temp/
-    rain/snow, link_weight OD counts). When `groupstd_normalize` is True the
-    .dyna values are per-node z-scored by the .gbst All_std/All_m like the
-    reference's offline prep (ref: data_prepare/1.3-data_libcity_format.py:99-130).
+    rain/snow, link_weight = destination-normalized OD fractions). When
+    `groupstd_normalize` is True the .dyna values are per-node z-scored by
+    the .gbst All_std/All_m like the reference's offline prep
+    (ref: data_prepare/1.3-data_libcity_format.py:99-130).
+
+    `node_stats` (DataFrame or CSV path with All_m/All_std columns) anchors
+    the per-node marginals to the reference's real per-node statistics
+    (other_data/*_visit_mstd.pkl → data/stats/*.csv); bootstrapped when the
+    row count differs from num_nodes.
     """
     rng = np.random.default_rng(seed)
     path = os.path.join(out_dir, name)
@@ -56,13 +63,23 @@ def make_synthetic_dataset(
     d2 = (lng[:, None] - lng[None, :]) ** 2 + (lat[:, None] - lat[None, :]) ** 2
     volume = rng.poisson(50 * np.exp(-d2 / 0.02)) + np.diag(rng.integers(100, 200, num_nodes))
     src, dst = np.nonzero(volume)
+    # link_weight is the DESTINATION-NORMALIZED fraction Volume/Inflow, the
+    # reference prep's semantics (data_prepare/1.3-data_libcity_format.py:
+    # 161-164: CTS_OD['link_weight'] = Volume / destination Inflow) — NOT the
+    # raw volume. Raw volumes (the round-1..4 behavior) made every entry
+    # 1-264 while models that mix the adjacency with unit-weight self/
+    # temporal links (TGCN's A+I, STSGCN's localized ST graph) expect
+    # fractions <=1; at raw scale those unit links are crushed by
+    # normalization, which mis-measured both models (RESULTS_DIAG_TGCN).
+    inflow = np.maximum(volume.sum(axis=0, keepdims=True), 1)  # per-destination
+    frac = volume / inflow
     rel = pd.DataFrame(
         {
             "rel_id": np.arange(len(src)),
             "type": "geo",
             "origin_id": geo_ids[src],
             "destination_id": geo_ids[dst],
-            "link_weight": volume[src, dst].astype(float),
+            "link_weight": frac[src, dst].astype(float),
         }
     )
     rel.to_csv(os.path.join(path, name + ".rel"), index=False)
@@ -85,8 +102,22 @@ def make_synthetic_dataset(
         len_time
     ) * np.timedelta64(3600, "s")
     hours = np.arange(len_time)
-    means = np.maximum(rng.normal(node_mean, node_mean / 2, num_nodes), 1.0)
-    stds = np.maximum(rng.normal(node_std, node_std / 3, num_nodes), 0.5)
+    if node_stats is not None:
+        # anchor per-node marginals to the REAL distributions the reference
+        # ships (other_data/*_visit_mstd.pkl, mirrored under data/stats/):
+        # real crowd-flow node means are heavy-tailed (DC: mean 29.5, max
+        # 458) — a normal draw misses the hub tracts entirely
+        stats = node_stats if hasattr(node_stats, "columns") else pd.read_csv(node_stats)
+        m = stats["All_m"].to_numpy(np.float64)
+        s = stats["All_std"].to_numpy(np.float64)
+        if len(m) != num_nodes:  # bootstrap to the requested size
+            pick = rng.integers(0, len(m), num_nodes)
+            m, s = m[pick], s[pick]
+        means = np.maximum(m, 1.0)
+        stds = np.maximum(s, 0.5)
+    else:
+        means = np.maximum(rng.normal(node_mean, node_mean / 2, num_nodes), 1.0)
+        stds = np.maximum(rng.normal(node_std, node_std / 3, num_nodes), 0.5)
     phase = rng.uniform(0, 2 * np.pi, num_nodes)
     daily = (
         np.sin(2 * np.pi * hours[None, :] / 24 + phase[:, None])

@@ -81,7 +81,8 @@ def run_torch(config, dataset, seed, max_epoch, probe=False):
     finally:
         sys.path.pop(0)
 
-    feature = dataset.get_data_feature()
+    train_loader, val_loader, test_loader = dataset.get_data()
+    feature = dataset.get_data_feature()  # scaler exists only after get_data
     tcfg = {
         "device": torch.device("cpu"),
         "module_type": "individual", "act_type": "GLU",
@@ -98,8 +99,6 @@ def run_torch(config, dataset, seed, max_epoch, probe=False):
     tm = TorchSTSGCN(_Cfg(tcfg), dict(feature))
     n_params = sum(p.numel() for p in tm.parameters())
     print("torch STSGCN params: {}".format(n_params), file=sys.stderr, flush=True)
-
-    train_loader, val_loader, test_loader = dataset.get_data()
     opt = torch.optim.Adam(tm.parameters(), lr=1e-3, eps=1e-8)
 
     def to_t(b):
@@ -202,9 +201,11 @@ def main():
     from multistgraph_tpu.data.synthetic import make_synthetic_dataset
 
     if not os.path.exists(os.path.join(raw_dir, ds_name, "config.json")):
-        make_synthetic_dataset(raw_dir, ds_name, num_nodes=237,
-                               len_time=24 * cli.len_days,
-                               node_mean=30.169, node_std=84.023, seed=42)
+        make_synthetic_dataset(
+            raw_dir, ds_name, num_nodes=237, len_time=24 * cli.len_days,
+            node_mean=30.169, node_std=84.023, seed=42,
+            node_stats=os.path.join(ROOT, "multistgraph_tpu", "data", "stats",
+                                    "DC237_visit_mstd.csv"))
 
     config_args = {
         "dataset": ds_name,

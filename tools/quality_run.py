@@ -49,13 +49,15 @@ from multistgraph_tpu.utils import set_random_seed
 ROOT = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..")
 
 SHAPES = {
-    # README.md:44-53 dataset statistics for DC and Baltimore
+    # README.md:44-53 dataset statistics for DC and Baltimore; per-node
+    # marginals anchored to the reference's REAL per-node mean/std tables
+    # (other_data/*_visit_mstd.pkl -> multistgraph_tpu/data/stats/*.csv)
     "dc": dict(name="SYN_DC237", num_nodes=237, node_mean=30.169, node_std=84.023,
-               output_window=24),
+               output_window=24, node_stats="DC237_visit_mstd.csv"),
     # output_window 24 so the summary covers the reference's full horizon set
     # {3, 6, 12, 24} (result_convert.py:73) on Baltimore too (VERDICT r4 §2)
     "bm": dict(name="SYN_BM403", num_nodes=403, node_mean=14.41, node_std=29.3,
-               output_window=24),
+               output_window=24, node_stats="BM403_visit_mstd.csv"),
 }
 
 # label -> (registered model name, config overrides)
@@ -234,9 +236,15 @@ def main():
     raw_dir = os.path.join(bench_root, "raw_data")
     ds_name = shape["name"]
     if not os.path.exists(os.path.join(raw_dir, ds_name, "config.json")):
+        stats = shape.get("node_stats")
+        if stats and not args.num_nodes:
+            stats = os.path.join(ROOT, "multistgraph_tpu", "data", "stats", stats)
+        else:
+            stats = None  # smoke-sized runs keep the scalar draw
         make_synthetic_dataset(
             raw_dir, ds_name, num_nodes=shape["num_nodes"], len_time=len_time,
             node_mean=shape["node_mean"], node_std=shape["node_std"], seed=42,
+            node_stats=stats,
         )
 
     wall = {}
