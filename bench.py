@@ -65,6 +65,10 @@ def main():
     ap.add_argument("--multiseed", type=int, default=0,
                     help="time S protocol seeds in one vmapped epoch program "
                          "and report aggregate epochs/hr (0 = headline mode)")
+    ap.add_argument("--quant-stream", action="store_true",
+                    help="stream the h-side node-conditioned weights int8 "
+                         "through the Pallas apply kernels "
+                         "(weight_stream_quant='int8', round 5)")
     cli = ap.parse_args()
     _probe_backend()
     import jax
@@ -105,6 +109,8 @@ def main():
         # f32 step speed.
         "compute_dtype": "bfloat16",
     }
+    if cli.quant_stream:
+        args["weight_stream_quant"] = "int8"
     config = load_config("traffic_state_pred", "MultiATGCN", ds_name, other_args=args)
     t0 = time.time()
     dataset = get_dataset(config)
@@ -188,6 +194,8 @@ def main():
         "unit": "epochs/hr",
         "vs_baseline": round(vs_baseline, 2) if vs_baseline else 1.0,
         "dtype": config.get("compute_dtype", "float32"),
+        "weight_stream": ("int8" if cli.quant_stream
+                          else config.get("compute_dtype", "float32")),
     }))
 
 

@@ -263,6 +263,202 @@ def _fused_bwd(dtype, res, dstates):
 fused_atgru_layer.defvjp(_fused_fwd, _fused_bwd)
 
 
+# --------------------------------------------------------------------------
+# int8-streamed variant of the fused layer (round 5, VERDICT item 3).
+#
+# The scans above re-read the expanded node-conditioned weights from HBM
+# every timestep (~28 MB/layer bf16 forward, again in the reverse scan) and
+# run at the HBM roofline (DESIGN.md §9) — bytes are the only lever left.
+# This variant quantizes the h-side weights ONCE per training step to int8
+# with per-(node, out-channel) scales and applies them through the Pallas
+# kernels in ops/node_apply.py (the convert to bf16 happens in VMEM, so the
+# per-step HBM read halves; per-(n,o) scales commute with the (k,i)
+# contraction, making the kernel exact dequantized math). Measured on-chip:
+# 72.7 -> 61.9 us/step forward composition, 33.7 us transposed
+# (tools/bench_apply_quant.py).
+#
+# Layout: everything per-step is N-MAJOR — carry (N,B,H), xs slabs
+# (T,N,B,*) — because the kernel's per-node batched dot wants (N,B,KI) and
+# a per-step transpose would eat the savings. The encoder transposes once
+# at layer entry/exit.
+#
+# Gradient semantics: straight-through on the weights — d(input) flows
+# through the QUANTIZED weights (the function actually applied), dW is the
+# same full-precision (T,B)-contraction as the exact path, so the weight
+# pools train on unquantized gradients (standard weight-only QAT).
+# --------------------------------------------------------------------------
+
+
+def _quantize_h_weights(wg_h, wu_h, block=32):
+    """Quantize + PRE-PAD the h-side weights to the kernel's node-block
+    multiple. Padding must happen here, once per train step OUTSIDE the
+    scan: a pad inside the scan body is loop-invariant but XLA does not
+    hoist it (memory-pressure LICM — the same lesson as the band pack,
+    DESIGN.md §4), measured ~350 us/step per padded weight tensor."""
+    from multistgraph_tpu.ops.node_apply import _pad_nodes, quantize_node_weights
+
+    n, kk, ii, og = wg_h.shape
+    ou = wu_h.shape[3]
+    n_pad = -(-n // block) * block
+    wgq, wgs = quantize_node_weights(wg_h.reshape(n, kk * ii, og))
+    wuq, wus = quantize_node_weights(wu_h.reshape(n, kk * ii, ou))
+    return (_pad_nodes(wgq, 0, n_pad), _pad_nodes(wgs, 0, n_pad),
+            _pad_nodes(wuq, 0, n_pad), _pad_nodes(wus, 0, n_pad))
+
+
+def _atgru_step_q8(h_prev, xs, supports, wq8, bg, bu, rg_h, ru_h, rg_b, ru_b,
+                   dtype):
+    """One N-major ATGRU+residual step streaming int8 weights.
+
+    h_prev (N,B,H); xs slabs (N,B,*); returns (h_new, intermediates)."""
+    from multistgraph_tpu.ops.node_apply import node_apply_q8
+
+    interp = jax.default_backend() != "tpu"  # Pallas interpret off-TPU
+    wgq, wgs, wuq, wus = wq8
+    n, b, hdim = h_prev.shape
+    cast = lambda a: a.astype(dtype)  # noqa: E731
+    gate_x_t, upd_x_t, rg_x_t, ru_x_t, w_t = xs
+    hh = jnp.einsum("knm,mbc->nbkc", cast(supports), cast(h_prev),
+                    preferred_element_type=jnp.float32)
+    hh = cast(hh).reshape(n, b, -1)
+    zr = jax.nn.sigmoid(
+        gate_x_t + node_apply_q8(hh, wgq, wgs, interpret=interp) + bg[:, None])
+    z, r = jnp.split(zr, 2, axis=-1)
+    hzh = jnp.einsum("knm,mbc->nbkc", cast(supports), cast(z * h_prev),
+                     preferred_element_type=jnp.float32)
+    hzh = cast(hzh).reshape(n, b, -1)
+    hc = jnp.tanh(
+        upd_x_t + node_apply_q8(hzh, wuq, wus, interpret=interp) + bu[:, None])
+    h_agru = r * h_prev + (1.0 - r) * hc
+    zr2 = jax.nn.sigmoid(rg_x_t + cast(h_agru) @ cast(rg_h) + rg_b)
+    z2, r2 = jnp.split(zr2, 2, axis=-1)
+    hc_res = jnp.tanh(ru_x_t + cast(z2 * h_agru) @ cast(ru_h) + ru_b)
+    h_res = r2 * h_agru + (1.0 - r2) * hc_res
+    h_new = w_t * h_agru + (1.0 - w_t) * h_res
+    return h_new, (zr, hc, h_agru, zr2, hc_res)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def fused_atgru_layer_q8(dtype, gate_x, upd_x, rg_x, ru_x, w_seq, supports,
+                         wg_h, wu_h, bg, bu, rg_h, ru_h, rg_b, ru_b, state0):
+    """N-major, int8-weight-streamed twin of fused_atgru_layer.
+
+    All per-step tensors are N-major: gate_x/upd_x/rg_x/ru_x (T,N,B,*),
+    state0 (N,B,H); returns states (T,N,B,H). dtype must be set (bf16)."""
+    wq8 = _quantize_h_weights(wg_h, wu_h)
+
+    def step(h, xs):
+        h_new, _ = _atgru_step_q8(h, xs, supports, wq8, bg, bu,
+                                  rg_h, ru_h, rg_b, ru_b, dtype)
+        return h_new, h_new
+
+    _, states = jax.lax.scan(step, state0, (gate_x, upd_x, rg_x, ru_x, w_seq),
+                             unroll=_SCAN_UNROLL)
+    return states
+
+
+def _fused_q8_fwd(dtype, gate_x, upd_x, rg_x, ru_x, w_seq, supports,
+                  wg_h, wu_h, bg, bu, rg_h, ru_h, rg_b, ru_b, state0):
+    wq8 = _quantize_h_weights(wg_h, wu_h)
+    keep = lambda a: a.astype(dtype)  # noqa: E731
+
+    def step(h, xs):
+        h_new, inter = _atgru_step_q8(h, xs, supports, wq8, bg, bu,
+                                      rg_h, ru_h, rg_b, ru_b, dtype)
+        return h_new, (h_new,) + tuple(keep(i) for i in inter)
+
+    _, outs = jax.lax.scan(step, state0, (gate_x, upd_x, rg_x, ru_x, w_seq),
+                           unroll=_SCAN_UNROLL)
+    states, zr_s, hc_s, h_agru_s, zr2_s, hc_res_s = outs
+    res = (gate_x, upd_x, rg_x, ru_x, w_seq, supports, wg_h, wu_h, bg, bu,
+           rg_h, ru_h, rg_b, ru_b, state0, wq8,
+           states, zr_s, hc_s, h_agru_s, zr2_s, hc_res_s)
+    return states, res
+
+
+def _fused_q8_bwd(dtype, res, dstates):
+    from multistgraph_tpu.ops.node_apply import node_apply_q8_t
+
+    (gate_x, upd_x, rg_x, ru_x, w_seq, supports, wg_h, wu_h, bg, bu,
+     rg_h, ru_h, rg_b, ru_b, state0, wq8,
+     states, zr_s, hc_s, h_agru_s, zr2_s, hc_res_s) = res
+    interp = jax.default_backend() != "tpu"
+    wgq, wgs, wuq, wus = wq8
+    n, b, hdim = state0.shape
+    kk = wg_h.shape[1]
+    cast = lambda a: a.astype(dtype)  # noqa: E731
+    mm = lambda spec, x, y: jnp.einsum(  # noqa: E731
+        spec, cast(x), cast(y), preferred_element_type=jnp.float32)
+    h_prev_s = jnp.concatenate([state0[None], states[:-1]], axis=0)
+    # Bulk recompute of the aggregation stacks — dW-only consumers, so they
+    # use the SAME N-outermost order the exact path measured fastest
+    # (_BULK_AGG_SPEC rationale above), not the scan's N-major stack order.
+    hh_s = mm("knm,tmbc->nkbtc", supports, h_prev_s)
+    z_s = jnp.split(zr_s, 2, axis=-1)[0]
+    hzh_s = mm("knm,tmbc->nkbtc", supports, z_s * h_prev_s)
+
+    def back_step(carry, xs):
+        dh, d_sup, d_rg_h, d_ru_h = carry
+        (dy, h_prev, zr, hc, h_agru, zr2, hc_res, w_t) = xs
+        dh = dh + dy
+        z, r = jnp.split(zr, 2, axis=-1)
+        z2, r2 = jnp.split(zr2, 2, axis=-1)
+        h_res = r2 * h_agru + (1.0 - r2) * hc_res
+        dw_t = jnp.sum((h_agru - h_res) * dh)
+        dh_agru = w_t * dh
+        dh_res = (1.0 - w_t) * dh
+        dr2 = (h_agru - hc_res) * dh_res
+        dh_agru = dh_agru + r2 * dh_res
+        dpre_ru = (1.0 - r2) * dh_res * (1.0 - hc_res * hc_res)
+        dz2h = dpre_ru @ ru_h.T
+        dz2 = dz2h * h_agru
+        dh_agru = dh_agru + dz2h * z2
+        d_ru_h = d_ru_h + jnp.einsum("nbc,nbo->co", z2 * h_agru, dpre_ru)
+        dpre_rg = jnp.concatenate([dz2, dr2], axis=-1) * zr2 * (1.0 - zr2)
+        dh_agru = dh_agru + dpre_rg @ rg_h.T
+        d_rg_h = d_rg_h + jnp.einsum("nbc,nbo->co", h_agru, dpre_rg)
+        dr = (h_prev - hc) * dh_agru
+        dh_prev = r * dh_agru
+        dpre_u = (1.0 - r) * dh_agru * (1.0 - hc * hc)
+        dhzh = node_apply_q8_t(cast(dpre_u), wuq, wus,
+                               interpret=interp).reshape(n, b, kk, hdim)
+        zh = z * h_prev
+        d_sup = d_sup + mm("nbkc,mbc->knm", dhzh, zh)
+        dzh = mm("knm,nbkc->mbc", supports, dhzh)
+        dz = dzh * h_prev
+        dh_prev = dh_prev + dzh * z
+        dpre_g = jnp.concatenate([dz, dr], axis=-1) * zr * (1.0 - zr)
+        dhh = node_apply_q8_t(cast(dpre_g), wgq, wgs,
+                              interpret=interp).reshape(n, b, kk, hdim)
+        d_sup = d_sup + mm("nbkc,mbc->knm", dhh, h_prev)
+        dh_prev = dh_prev + mm("knm,nbkc->mbc", supports, dhh)
+        return (dh_prev, d_sup, d_rg_h, d_ru_h), (dpre_g, dpre_u, dpre_rg, dpre_ru, dw_t)
+
+    zero = jnp.zeros_like
+    carry0 = (zero(state0), zero(supports), zero(rg_h), zero(ru_h))
+    (dstate0, d_sup, d_rg_h, d_ru_h), stacks = jax.lax.scan(
+        back_step, carry0,
+        (dstates, h_prev_s, zr_s, hc_s, h_agru_s, zr2_s, hc_res_s, w_seq),
+        reverse=True, unroll=_SCAN_UNROLL,
+    )
+    dpre_g_s, dpre_u_s, dpre_rg_s, dpre_ru_s, dw_seq = stacks
+    # Straight-through dW: the same full-precision (T,B) contraction as the
+    # exact path (weights trained on unquantized gradients).
+    d_wg_h = mm("nkbti,tnbo->nkio", hh_s, dpre_g_s).astype(wg_h.dtype)
+    d_wu_h = mm("nkbti,tnbo->nkio", hzh_s, dpre_u_s).astype(wu_h.dtype)
+    d_bg = dpre_g_s.sum(axis=(0, 2))
+    d_bu = dpre_u_s.sum(axis=(0, 2))
+    d_rg_b = dpre_rg_s.sum(axis=(0, 1, 2))
+    d_ru_b = dpre_ru_s.sum(axis=(0, 1, 2))
+    return (dpre_g_s.astype(gate_x.dtype), dpre_u_s.astype(upd_x.dtype),
+            dpre_rg_s.astype(rg_x.dtype), dpre_ru_s.astype(ru_x.dtype),
+            dw_seq, d_sup,
+            d_wg_h, d_wu_h, d_bg, d_bu, d_rg_h, d_ru_h, d_rg_b, d_ru_b, dstate0)
+
+
+fused_atgru_layer_q8.defvjp(_fused_q8_fwd, _fused_q8_bwd)
+
+
 class MultiATGCN(nn.Module):
     """Flax module. Input x: (B, T_total, N, F); output: (B, Tout, N, output_dim)."""
 
@@ -300,6 +496,10 @@ class MultiATGCN(nn.Module):
     # autodiff (~1.5x faster train step at DC-237); numerics identical
     # (tests/test_fused_bptt.py). Set False to fall back to autodiff.
     fused_bptt: bool = True
+    # 'int8': stream the h-side node-conditioned weights int8 through the
+    # Pallas apply kernels (halves the dominant per-timestep HBM read;
+    # requires compute_dtype=bfloat16 + fused_bptt). None = exact path.
+    weight_stream_quant: Any = None
     # 'bfloat16' runs the encoder's graph/weight matmuls in bf16 with f32
     # accumulation (halves the dominant HBM weight stream); None = exact f32
     compute_dtype: Any = None
@@ -483,10 +683,59 @@ class MultiATGCN(nn.Module):
         bias = self._node_emb @ cell_params["bias_pool"]  # (N, out), f32
         return w_x, w_h, bias
 
+    def _encoder_q8(self, x: jnp.ndarray, init_state: jnp.ndarray,
+                    supports: jnp.ndarray) -> jnp.ndarray:
+        """int8-weight-streamed N-major encoder (weight_stream_quant='int8').
+
+        Same math as _encoder's fused path with the h-side weights streamed
+        int8 (fused_atgru_layer_q8). Every per-step tensor is produced
+        N-major natively — the hoisting einsums emit (T,N,B,*) — so the
+        only layout transposes are one at encoder entry and one at exit."""
+        dtype = jnp.dtype(self.compute_dtype)
+        weights_gru = jax.nn.sigmoid(self._weights_gru)  # (L, T)
+        current = jnp.transpose(x, (1, 2, 0, 3))  # (T, N, B, C)
+        h = self.hidden_dim
+        for layer_idx, cell in enumerate(self._layers):
+            state0 = jnp.transpose(init_state[layer_idx], (1, 0, 2))  # (N,B,H)
+            w_seq = weights_gru[layer_idx][: current.shape[0]]
+            res_gate_k, res_gate_b = cell["res_gate"]["kernel"], cell["res_gate"]["bias"]
+            res_upd_k, res_upd_b = cell["res_update"]["kernel"], cell["res_update"]["bias"]
+            dim_in = current.shape[-1]
+            res_x = jnp.einsum(
+                "tnbc,cd->tnbd", current,
+                jnp.concatenate([res_gate_k[:dim_in], res_upd_k[:dim_in]], axis=1),
+            )
+            res_gate_x, res_upd_x = res_x[..., : 2 * h], res_x[..., 2 * h :]
+            wg_x, wg_h, bg = self._cell_weights(cell["gate"], dtype)
+            wu_x, wu_h, bu = self._cell_weights(cell["update"], dtype)
+            hx = jnp.einsum("knm,tmbc->tnbkc", supports, current)
+            xw = jnp.einsum(
+                "tnbki,nkio->tnbo", hx.astype(dtype),
+                jnp.concatenate([wg_x, wu_x], axis=3),
+                preferred_element_type=jnp.float32,
+            )
+            gate_x, upd_x = xw[..., : 2 * h].astype(dtype), xw[..., 2 * h :].astype(dtype)
+            states = fused_atgru_layer_q8(
+                dtype, gate_x, upd_x,
+                res_gate_x.astype(dtype), res_upd_x.astype(dtype), w_seq,
+                supports, wg_h, wu_h, bg, bu,
+                res_gate_k[dim_in:], res_upd_k[dim_in:],
+                res_gate_b, res_upd_b, state0,
+            )
+            current = states  # (T, N, B, H)
+            self.sow(
+                "intermediates", "encoder_layer_{}".format(layer_idx),
+                jnp.transpose(current, (2, 0, 1, 3)),
+            )
+        return jnp.transpose(current, (2, 0, 1, 3))  # (B, T, N, H)
+
     def _encoder(self, x: jnp.ndarray, init_state: jnp.ndarray, supports: jnp.ndarray) -> jnp.ndarray:
         """x: (B, T, N, C) -> stacked per-step states of the last layer (B, T, N, H)."""
         if x.shape[2] != self.num_nodes:
             raise ValueError("node-dimension mismatch: {} vs {}".format(x.shape[2], self.num_nodes))
+        if (self.weight_stream_quant == "int8" and self.fused_bptt
+                and self.compute_dtype is not None and not self.gcn_off):
+            return self._encoder_q8(x, init_state, supports)
         weights_gru = jax.nn.sigmoid(self._weights_gru)  # (L, T)
         current = jnp.transpose(x, (1, 0, 2, 3))  # (T, B, N, C)
 
@@ -761,6 +1010,7 @@ def build_multi_atgcn(config, data_feature) -> MultiATGCN:
         vec1_init_value=vec1_init,
         vec2_init_value=vec2_init,
         fused_bptt=config.get("fused_bptt", True),
+        weight_stream_quant=config.get("weight_stream_quant", None),
         compute_dtype=config.get("compute_dtype", None),
     )
 

@@ -163,3 +163,207 @@ def pool_to_kernel_layout(pool, gate=None):
     mat = jnp.transpose(pool, (1, 2, 0, 3)).reshape(kk, ii, d * oo)
     mat_t = jnp.transpose(pool, (1, 0, 3, 2)).reshape(kk, d * oo, ii)
     return mat, mat_t
+
+
+# ---------------------------------------------------------------------------
+# int8 EXPANDED-weight streaming (round 5, VERDICT item 3).
+#
+# The factored kernels above trade the weight stream for a D-fold FLOP
+# blow-up; at the flagship D=20 the dots lose to the stream (bench_node_dots
+# variant B vs C).  The alternative that wins bytes without extra FLOPs:
+# keep the EXPANDED per-node weights W[n] = e[n] . pool, but store the scan
+# loop-invariant int8 with per-(node, out-channel) scales and convert in
+# VMEM — the per-timestep HBM read halves vs bf16.  Per-(n,o) scales
+# commute with the (k,i) contraction, so
+#     out[n,b,o] = (hh[n,b,:] @ wq[n,:,o]) * s[n,o]
+# is EXACT dequantized math (one multiply after the dot, no in-kernel
+# dequant pass).  XLA cannot do this transform itself: a convert op feeding
+# einsum materializes the bf16 copy in HBM (or is hoisted out of the scan
+# entirely, recreating today's stream).
+#
+# Layout: activations arrive (N, B, K*I) — the scan's aggregation einsum
+# emits 'knm,bmc->nbkc' and the (K,C)->(K*C) merge happens outside the
+# kernel (adjacent dims; XLA handles it).  Mosaic supports this per-node
+# batched dot form directly (probed on-chip round 2, DESIGN.md §10).
+# ---------------------------------------------------------------------------
+
+
+def quantize_node_weights(w):
+    """(N, KI, O) float -> ((N, KI, O) int8, (N, 1, O) f32 scales).
+
+    Symmetric absmax per (node, output-channel): each scale covers the KI
+    contraction values of one output column of one node.
+    """
+    a = jnp.abs(w).max(axis=1, keepdims=True)
+    scale = (jnp.maximum(a, 1e-12) / 127.0).astype(jnp.float32)
+    q = jnp.clip(jnp.round(w / scale), -127, 127).astype(jnp.int8)
+    return q, scale
+
+
+def _apply_q8_kernel(hh_ref, wq_ref, s_ref, out_ref):
+    w = wq_ref[...].astype(jnp.bfloat16)
+    out = jax.lax.dot_general(
+        hh_ref[...], w, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+    out_ref[...] = out * s_ref[...]
+
+
+def _apply_q8_t_kernel(dpre_ref, wq_ref, s_ref, dhh_ref):
+    # dhh[n,b,ki] = (dpre[n,b,o] * s[n,o]) @ wq[n,ki,o]^T — scales fold into
+    # the cotangent BEFORE the dot (they are per contraction-dim o here)
+    d = (dpre_ref[...] * s_ref[...]).astype(jnp.bfloat16)
+    w = wq_ref[...].astype(jnp.bfloat16)
+    dhh_ref[...] = jax.lax.dot_general(
+        d, w, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ).astype(dhh_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block", "interpret"))
+def node_apply_q8(hh, wq, scale, block: int = 32, interpret: bool = False):
+    """out[n,b,o] = (sum_ki hh[n,b,ki] wq[n,ki,o]) * scale[n,0,o].
+
+    hh: (N, B, KI) any float; wq: (N, KI, O) int8; scale: (N, 1, O) f32.
+    Returns (N, B, O) f32.  The int8 weights are the only weight-sized HBM
+    read; conversion to bf16 happens in VMEM.
+    """
+    n, b, ki = hh.shape
+    o = wq.shape[2]
+    n_pad = -(-n // block) * block
+    hh = _pad_nodes(hh, 0, n_pad)
+    wq = _pad_nodes(wq, 0, n_pad)
+    scale = _pad_nodes(scale, 0, n_pad)
+    grid = (n_pad // block,)
+    out = pl.pallas_call(
+        _apply_q8_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block, b, ki), lambda ni: (ni, 0, 0)),
+            pl.BlockSpec((block, ki, o), lambda ni: (ni, 0, 0)),
+            pl.BlockSpec((block, 1, o), lambda ni: (ni, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((block, b, o), lambda ni: (ni, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((n_pad, b, o), jnp.float32),
+        interpret=interpret,
+    )(hh, wq, scale)
+    return out[:n]
+
+
+@functools.partial(jax.jit, static_argnames=("out_dtype", "block", "interpret"))
+def node_apply_q8_t(dpre, wq, scale, out_dtype=None, block: int = 32,
+                    interpret: bool = False):
+    """dhh[n,b,ki] = sum_o dpre[n,b,o] * scale[n,0,o] * wq[n,ki,o].
+
+    dpre: (N, B, O); wq/scale as node_apply_q8. Returns (N, B, KI)."""
+    n, b, o = dpre.shape
+    ki = wq.shape[1]
+    out_dtype = out_dtype or dpre.dtype
+    n_pad = -(-n // block) * block
+    dpre = _pad_nodes(dpre, 0, n_pad)
+    wq = _pad_nodes(wq, 0, n_pad)
+    scale = _pad_nodes(scale, 0, n_pad)
+    grid = (n_pad // block,)
+    dhh = pl.pallas_call(
+        _apply_q8_t_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block, b, o), lambda ni: (ni, 0, 0)),
+            pl.BlockSpec((block, ki, o), lambda ni: (ni, 0, 0)),
+            pl.BlockSpec((block, 1, o), lambda ni: (ni, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((block, b, ki), lambda ni: (ni, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((n_pad, b, ki), out_dtype),
+        interpret=interpret,
+    )(dpre, wq, scale)
+    return dhh[:n]
+
+
+# --- k-major variants -------------------------------------------------------
+# The aggregation einsum 'knm,mbc->knbc' emits (K, N, B, C) as the DOT's
+# natural output order — asking for the merged (N, B, K*C) instead forces a
+# ~10 MB relayout every scan tick (measured via profile_step on the first
+# integration). These variants consume the k-major layout directly: the
+# kernel loops the small static K, slicing the matching rows of the packed
+# (N, K*C, O) int8 weights, so no transpose or dim-merge exists outside.
+
+
+def _apply_q8_k_kernel(hh_ref, wq_ref, s_ref, out_ref, *, kk, cc):
+    acc = None
+    for k in range(kk):
+        w = wq_ref[:, k * cc:(k + 1) * cc, :].astype(jnp.bfloat16)
+        d = jax.lax.dot_general(
+            hh_ref[k], w, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        acc = d if acc is None else acc + d
+    out_ref[...] = acc * s_ref[...]
+
+
+def _apply_q8_k_t_kernel(dpre_ref, wq_ref, s_ref, dhh_ref, *, kk, cc):
+    d = (dpre_ref[...] * s_ref[...]).astype(jnp.bfloat16)
+    for k in range(kk):
+        w = wq_ref[:, k * cc:(k + 1) * cc, :].astype(jnp.bfloat16)
+        dhh_ref[k] = jax.lax.dot_general(
+            d, w, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ).astype(dhh_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block", "interpret"))
+def node_apply_q8_kmajor(hh, wq, scale, block: int = 32, interpret: bool = False):
+    """out[n,b,o] = (sum_{k,c} hh[k,n,b,c] wq[n,(k,c),o]) * scale[n,0,o].
+
+    hh: (K, N, B, C) — the aggregation dot's natural output order;
+    wq: (N_pad, K*C, O) int8 (PRE-PADDED to a block multiple);
+    scale: (N_pad, 1, O) f32. Returns (N, B, O) f32."""
+    kk, n, b, cc = hh.shape
+    o = wq.shape[2]
+    n_pad = -(-n // block) * block
+    hh = _pad_nodes(hh, 1, n_pad)
+    wq = _pad_nodes(wq, 0, n_pad)
+    scale = _pad_nodes(scale, 0, n_pad)
+    grid = (n_pad // block,)
+    out = pl.pallas_call(
+        functools.partial(_apply_q8_k_kernel, kk=kk, cc=cc),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((kk, block, b, cc), lambda ni: (0, ni, 0, 0)),
+            pl.BlockSpec((block, kk * cc, o), lambda ni: (ni, 0, 0)),
+            pl.BlockSpec((block, 1, o), lambda ni: (ni, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((block, b, o), lambda ni: (ni, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((n_pad, b, o), jnp.float32),
+        interpret=interpret,
+    )(hh, wq, scale)
+    return out[:n]
+
+
+@functools.partial(jax.jit, static_argnames=("kk", "out_dtype", "block", "interpret"))
+def node_apply_q8_t_kmajor(dpre, wq, scale, kk, out_dtype=None, block: int = 32,
+                           interpret: bool = False):
+    """dhh[k,n,b,c] = sum_o dpre[n,b,o] * scale[n,0,o] * wq[n,(k,c),o].
+
+    Emits the k-major (K, N, B, C) layout the supports-transpose einsums
+    consume natively. dpre: (N, B, O)."""
+    n, b, o = dpre.shape
+    cc = wq.shape[1] // kk
+    out_dtype = out_dtype or dpre.dtype
+    n_pad = -(-n // block) * block
+    dpre = _pad_nodes(dpre, 0, n_pad)
+    wq = _pad_nodes(wq, 0, n_pad)
+    scale = _pad_nodes(scale, 0, n_pad)
+    grid = (n_pad // block,)
+    dhh = pl.pallas_call(
+        functools.partial(_apply_q8_k_t_kernel, kk=kk, cc=cc),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block, b, o), lambda ni: (ni, 0, 0)),
+            pl.BlockSpec((block, kk * cc, o), lambda ni: (ni, 0, 0)),
+            pl.BlockSpec((block, 1, o), lambda ni: (ni, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((kk, block, b, cc), lambda ni: (0, ni, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((kk, n_pad, b, cc), out_dtype),
+        interpret=interpret,
+    )(dpre, wq, scale)
+    return dhh[:, :n]

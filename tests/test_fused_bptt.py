@@ -192,3 +192,72 @@ def test_full_model_bf16_close_to_f32(rng):
         assert float(np.median(rel)) < 0.15, "bf16 grads diverge at {}: median rel {}".format(
             jax.tree_util.keystr(k1), float(np.median(rel))
         )
+
+
+def test_fused_q8_matches_exact_path_on_dequantized_weights():
+    """fused_atgru_layer_q8 == fused_atgru_layer evaluated at the
+    DEQUANTIZED weights (per-(n,o) scales commute with the contraction, and
+    the STE backward equals autodiff of the quantized-weight function), to
+    bf16 tolerance. Covers forward + every input/param cotangent."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from multistgraph_tpu.models.multi_atgcn import (
+        fused_atgru_layer,
+        fused_atgru_layer_q8,
+    )
+    from multistgraph_tpu.ops.node_apply import quantize_node_weights
+
+    rng = np.random.default_rng(7)
+    T, B, N, H, K = 5, 3, 16, 8, 2
+    dt = jnp.bfloat16
+    f = lambda *s: jnp.asarray(rng.normal(size=s).astype(np.float32))
+    gate_x, upd_x = f(T, B, N, 2 * H), f(T, B, N, H)
+    rg_x, ru_x = f(T, B, N, 2 * H), f(T, B, N, H)
+    w_seq = jnp.asarray(rng.uniform(0.2, 0.8, T).astype(np.float32))
+    supports = f(K, N, N) * 0.2
+    wg_h, wu_h = f(N, K, H, 2 * H) * 0.3, f(N, K, H, H) * 0.3
+    bg, bu = f(N, 2 * H), f(N, H)
+    rg_h, ru_h = f(H, 2 * H) * 0.3, f(H, H) * 0.3
+    rg_b, ru_b = f(2 * H), f(H)
+    state0 = f(B, N, H)
+
+    wgq, wgs = quantize_node_weights(wg_h.reshape(N, K * H, 2 * H))
+    wuq, wus = quantize_node_weights(wu_h.reshape(N, K * H, H))
+    wg_dq = (wgq.astype(jnp.float32) * wgs).reshape(N, K, H, 2 * H)
+    wu_dq = (wuq.astype(jnp.float32) * wus).reshape(N, K, H, H)
+
+    nmaj = lambda a: jnp.transpose(a, (0, 2, 1, 3))
+    cast = lambda a: a.astype(dt)
+
+    def run_q8(args):
+        (gx, ux, rgx, rux, sup, wg, wu) = args
+        return fused_atgru_layer_q8(
+            dt, cast(nmaj(gx)), cast(nmaj(ux)), cast(nmaj(rgx)),
+            cast(nmaj(rux)), w_seq, sup, wg, wu, bg, bu,
+            rg_h, ru_h, rg_b, ru_b, jnp.transpose(state0, (1, 0, 2)),
+        ).transpose(0, 2, 1, 3)
+
+    def run_ref(args):
+        (gx, ux, rgx, rux, sup, wg, wu) = args
+        return fused_atgru_layer(
+            dt, cast(gx), cast(ux), cast(rgx), cast(rux), w_seq, sup,
+            wg, wu, bg, bu, rg_h, ru_h, rg_b, ru_b, state0,
+        )
+
+    args_q8 = (gate_x, upd_x, rg_x, ru_x, supports, wg_h, wu_h)
+    args_ref = (gate_x, upd_x, rg_x, ru_x, supports, wg_dq, wu_dq)
+    out_q8 = run_q8(args_q8)
+    out_ref = run_ref(args_ref)
+    np.testing.assert_allclose(np.asarray(out_q8, np.float32),
+                               np.asarray(out_ref, np.float32),
+                               atol=3e-2, rtol=3e-2)
+
+    g_q8 = jax.grad(lambda a: jnp.sum(run_q8(a) ** 2))(args_q8)
+    g_ref = jax.grad(lambda a: jnp.sum(run_ref(a) ** 2))(args_ref)
+    names = ["gate_x", "upd_x", "rg_x", "ru_x", "supports", "wg_h", "wu_h"]
+    for nm, a, b in zip(names, g_q8, g_ref):
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b, np.float32),
+            atol=5e-2, rtol=5e-2, err_msg="cotangent mismatch: " + nm)

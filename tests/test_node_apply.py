@@ -69,3 +69,30 @@ def test_bf16_inputs(tensors):
     w = jnp.einsum("nd,dkio->nkio", tensors["e"], tensors["pool"])
     want = jnp.einsum("bkni,nkio->bno", tensors["hh"], w)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=0.05, rtol=0.05)
+
+
+def test_node_apply_q8_matches_dequant_einsum():
+    """int8 streaming kernel == exact math on the dequantized weights (the
+    per-(n,o) scale commutes with the (k,i) contraction)."""
+    rng = np.random.default_rng(0)
+    n, b, ki, o = 37, 4, 24, 16
+    hh = rng.normal(size=(n, b, ki)).astype(np.float32)
+    w = rng.normal(size=(n, ki, o)).astype(np.float32)
+    from multistgraph_tpu.ops.node_apply import (
+        node_apply_q8, node_apply_q8_t, quantize_node_weights,
+    )
+
+    wq, s = quantize_node_weights(jnp.asarray(w))
+    wdq = np.asarray(wq, np.float32) * np.asarray(s)
+    got = node_apply_q8(jnp.asarray(hh), wq, s, interpret=True)
+    want = np.einsum("nbk,nko->nbo", hh, wdq)
+    np.testing.assert_allclose(np.asarray(got), want, atol=2e-2, rtol=2e-2)
+    # quantization error itself is bounded (per-channel absmax, 1/127)
+    exact = np.einsum("nbk,nko->nbo", hh, w)
+    rel = np.abs(np.asarray(got) - exact).max() / np.abs(exact).max()
+    assert rel < 0.05, rel
+
+    dpre = rng.normal(size=(n, b, o)).astype(np.float32)
+    gotT = node_apply_q8_t(jnp.asarray(dpre), wq, s, interpret=True)
+    wantT = np.einsum("nbo,nko->nbk", dpre, wdq)
+    np.testing.assert_allclose(np.asarray(gotT), wantT, atol=2e-2, rtol=2e-2)

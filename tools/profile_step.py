@@ -30,9 +30,10 @@ from __graft_entry__ import _tiny_setup
 REPEAT = 32
 
 
-def build_step(fused: bool, dtype):
+def build_step(fused: bool, dtype, quant=False):
     model, config, params, x, y = _tiny_setup(num_nodes=237, batch=16, hidden=64)
-    model = model.clone(fused_bptt=fused, compute_dtype=dtype)
+    model = model.clone(fused_bptt=fused, compute_dtype=dtype,
+                        weight_stream_quant="int8" if quant else None)
     scaler = StandardScaler(mean=1.0, std=2.0)
     loss_fn = make_loss_fn(model, scaler)
     optimizer = build_optimizer(type("Cfg", (), {"get": lambda s, k, d=None: config.get(k, d)})())
@@ -78,12 +79,14 @@ def categorize(name: str) -> str:
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--fused", type=int, default=1)
+    ap.add_argument("--quant", action="store_true")
     ap.add_argument("--dtype", default=None)
     ap.add_argument("--top", type=int, default=25)
     args = ap.parse_args()
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else None
 
-    fn, batch = build_step(bool(args.fused), "bfloat16" if dtype else None)
+    fn, batch = build_step(bool(args.fused), "bfloat16" if dtype else None,
+                           quant=args.quant)
     out = fn(batch)  # compile + warm
     float(jnp.asarray(jax.tree_util.tree_leaves(out)[0], jnp.float32).sum())
 
