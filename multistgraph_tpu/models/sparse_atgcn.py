@@ -385,7 +385,18 @@ class SparseATGCN(nn.Module):
             out = jnp.einsum("nbdo,nd->nbo", u, emb)
             bias = emb @ self._cast(cell["bias"])  # (N, out)
             return out + bias[:, None, :]
-        out = jnp.einsum("knbi,kio->nbo", h_stack, self._cast(cell["pool"]))
+        # Shared pool: sum of K full-row 2D dots, NOT one 'knbi,kio->nbo'
+        # einsum — XLA lowers that einsum to n-batched dots with B rows per
+        # node, putting 1-2-row operands in 8-sublane MXU tiles at serving
+        # batch sizes (the measured 1M predict bottleneck, DESIGN.md §10).
+        # Each (N*B, I) @ (I, O) dot has full 128-row tiles; same FLOPs and
+        # bytes, no transpose (k is the outer stack axis already).
+        kk, n, b, ii = h_stack.shape
+        pool = self._cast(cell["pool"])
+        out = h_stack[0].reshape(n * b, ii) @ pool[0]
+        for k in range(1, kk):
+            out = out + h_stack[k].reshape(n * b, ii) @ pool[k]
+        out = out.reshape(n, b, -1)
         return out + self._cast(cell["bias"][0])[None, None, :]
 
     # ---------------------------------------------------------------- forward
