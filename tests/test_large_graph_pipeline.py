@@ -136,3 +136,37 @@ def test_band_checkpoint_moves_between_storage_forms(tmp_path):
     np.testing.assert_allclose(np.asarray(packed["masked_MAE"]),
                                np.asarray(plane["masked_MAE"]),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_band_checkpoint_storage_form_orbax(tmp_path):
+    """Same storage-form migration through the ORBAX backend (round-5 fix:
+    the fallback previously existed only on the msgpack path)."""
+    common = {
+        "output_dir": str(tmp_path / "out"),
+        "exp_id": "band_ckpt_ox",
+        "num_nodes": 300,
+        "avg_degree": 8,
+        "len_time": 120,
+        "graph_split": "band",
+        "input_window": 8,
+        "output_window": 2,
+        "batch_size": 4,
+        "rnn_units": 8,
+        "embed_dim_adj": 4,
+        "adpadj": "none",
+        "num_layers": 1,
+        "remat": False,
+        "max_epoch": 1,
+        "use_early_stop": False,
+        "pallas_interpret": True,
+        "seed": 0,
+        "checkpoint_backend": "orbax",
+    }
+    kw = dict(task="traffic_state_pred", model_name="SparseATGCN",
+              dataset_name="SYN_LARGE_CKPT_OX")
+    trained = run_model(other_args=common, **kw)
+    packed = run_model(
+        other_args={**common, "train": False, "graph_band_packed": True}, **kw)
+    np.testing.assert_allclose(np.asarray(packed["masked_MAE"]),
+                               np.asarray(trained["masked_MAE"]),
+                               rtol=1e-4, atol=1e-5)
