@@ -279,91 +279,8 @@ def node_apply_q8_t(dpre, wq, scale, out_dtype=None, block: int = 32,
     return dhh[:n]
 
 
-# --- k-major variants -------------------------------------------------------
-# The aggregation einsum 'knm,mbc->knbc' emits (K, N, B, C) as the DOT's
-# natural output order — asking for the merged (N, B, K*C) instead forces a
-# ~10 MB relayout every scan tick (measured via profile_step on the first
-# integration). These variants consume the k-major layout directly: the
-# kernel loops the small static K, slicing the matching rows of the packed
-# (N, K*C, O) int8 weights, so no transpose or dim-merge exists outside.
-
-
-def _apply_q8_k_kernel(hh_ref, wq_ref, s_ref, out_ref, *, kk, cc):
-    acc = None
-    for k in range(kk):
-        w = wq_ref[:, k * cc:(k + 1) * cc, :].astype(jnp.bfloat16)
-        d = jax.lax.dot_general(
-            hh_ref[k], w, (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        )
-        acc = d if acc is None else acc + d
-    out_ref[...] = acc * s_ref[...]
-
-
-def _apply_q8_k_t_kernel(dpre_ref, wq_ref, s_ref, dhh_ref, *, kk, cc):
-    d = (dpre_ref[...] * s_ref[...]).astype(jnp.bfloat16)
-    for k in range(kk):
-        w = wq_ref[:, k * cc:(k + 1) * cc, :].astype(jnp.bfloat16)
-        dhh_ref[k] = jax.lax.dot_general(
-            d, w, (((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        ).astype(dhh_ref.dtype)
-
-
-@functools.partial(jax.jit, static_argnames=("block", "interpret"))
-def node_apply_q8_kmajor(hh, wq, scale, block: int = 32, interpret: bool = False):
-    """out[n,b,o] = (sum_{k,c} hh[k,n,b,c] wq[n,(k,c),o]) * scale[n,0,o].
-
-    hh: (K, N, B, C) — the aggregation dot's natural output order;
-    wq: (N_pad, K*C, O) int8 (PRE-PADDED to a block multiple);
-    scale: (N_pad, 1, O) f32. Returns (N, B, O) f32."""
-    kk, n, b, cc = hh.shape
-    o = wq.shape[2]
-    n_pad = -(-n // block) * block
-    hh = _pad_nodes(hh, 1, n_pad)
-    wq = _pad_nodes(wq, 0, n_pad)
-    scale = _pad_nodes(scale, 0, n_pad)
-    grid = (n_pad // block,)
-    out = pl.pallas_call(
-        functools.partial(_apply_q8_k_kernel, kk=kk, cc=cc),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((kk, block, b, cc), lambda ni: (0, ni, 0, 0)),
-            pl.BlockSpec((block, kk * cc, o), lambda ni: (ni, 0, 0)),
-            pl.BlockSpec((block, 1, o), lambda ni: (ni, 0, 0)),
-        ],
-        out_specs=pl.BlockSpec((block, b, o), lambda ni: (ni, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((n_pad, b, o), jnp.float32),
-        interpret=interpret,
-    )(hh, wq, scale)
-    return out[:n]
-
-
-@functools.partial(jax.jit, static_argnames=("kk", "out_dtype", "block", "interpret"))
-def node_apply_q8_t_kmajor(dpre, wq, scale, kk, out_dtype=None, block: int = 32,
-                           interpret: bool = False):
-    """dhh[k,n,b,c] = sum_o dpre[n,b,o] * scale[n,0,o] * wq[n,(k,c),o].
-
-    Emits the k-major (K, N, B, C) layout the supports-transpose einsums
-    consume natively. dpre: (N, B, O)."""
-    n, b, o = dpre.shape
-    cc = wq.shape[1] // kk
-    out_dtype = out_dtype or dpre.dtype
-    n_pad = -(-n // block) * block
-    dpre = _pad_nodes(dpre, 0, n_pad)
-    wq = _pad_nodes(wq, 0, n_pad)
-    scale = _pad_nodes(scale, 0, n_pad)
-    grid = (n_pad // block,)
-    dhh = pl.pallas_call(
-        functools.partial(_apply_q8_k_t_kernel, kk=kk, cc=cc),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((block, b, o), lambda ni: (ni, 0, 0)),
-            pl.BlockSpec((block, kk * cc, o), lambda ni: (ni, 0, 0)),
-            pl.BlockSpec((block, 1, o), lambda ni: (ni, 0, 0)),
-        ],
-        out_specs=pl.BlockSpec((kk, block, b, cc), lambda ni: (0, ni, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((kk, n_pad, b, cc), out_dtype),
-        interpret=interpret,
-    )(dpre, wq, scale)
-    return dhh[:, :n]
+# A k-major variant (kernels consuming the aggregation dot's natural
+# (K, N, B, C) order, per-k dots in-kernel) was built and measured in
+# round 5 and REMOVED: it benched worse than the merged-(N,B,KI) form
+# inside the full training step (20.89 vs 19.84 ms/step — DESIGN.md §10,
+# git history has the code).
