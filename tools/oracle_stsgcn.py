@@ -32,11 +32,11 @@ ROOT = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..")
 REFERENCE = "/root/reference"
 
 
-def _dataset(config_args):
+def _dataset(config_args, model_name="STSGCN"):
     from multistgraph_tpu.config import load_config
     from multistgraph_tpu.data import get_dataset
 
-    config = load_config("traffic_state_pred", "STSGCN", config_args["dataset"],
+    config = load_config("traffic_state_pred", model_name, config_args["dataset"],
                          other_args=config_args)
     dataset = get_dataset(config)
     return config, dataset
@@ -68,7 +68,7 @@ def _cum_mae3(pred, truth, mstd):
     return float(np.abs(pred_t[keep] - truth_t[keep]).mean())
 
 
-def run_torch(config, dataset, seed, max_epoch, probe=False):
+def run_torch(config, dataset, seed, max_epoch, probe=False, model_name="STSGCN"):
     import torch
 
     torch.set_num_threads(os.cpu_count() or 4)
@@ -77,7 +77,10 @@ def run_torch(config, dataset, seed, max_epoch, probe=False):
 
     sys.path.insert(0, REFERENCE)
     try:
-        from libcity.temp.STSGCN import STSGCN as TorchSTSGCN
+        if model_name == "STTN":
+            from libcity.temp.STTN import STTN as TorchModel
+        else:
+            from libcity.temp.STSGCN import STSGCN as TorchModel
     finally:
         sys.path.pop(0)
 
@@ -90,16 +93,21 @@ def run_torch(config, dataset, seed, max_epoch, probe=False):
         "input_window": int(config.get("input_window", 24)),
         "output_window": int(config.get("output_window", 24)),
         "rho": 1,
+        # STTN: hourly data = 24 time intervals/day (its default 288 is
+        # 5-minute data); reference model defaults otherwise
+        "TG_in_one_day": 24,
     }
 
     class _Cfg(dict):
         def get(self, k, d=None):
             return dict.get(self, k, d)
 
-    tm = TorchSTSGCN(_Cfg(tcfg), dict(feature))
+    tm = TorchModel(_Cfg(tcfg), dict(feature))
     n_params = sum(p.numel() for p in tm.parameters())
-    print("torch STSGCN params: {}".format(n_params), file=sys.stderr, flush=True)
-    opt = torch.optim.Adam(tm.parameters(), lr=1e-3, eps=1e-8)
+    print("torch {} params: {}".format(model_name, n_params), file=sys.stderr, flush=True)
+    lr = float(os.environ.get("ORACLE_TORCH_LR",
+                               3e-3 if model_name == "STTN" else 1e-3))
+    opt = torch.optim.Adam(tm.parameters(), lr=lr, eps=1e-8)
 
     def to_t(b):
         return {"X": torch.tensor(b["X"]), "y": torch.tensor(b["y"])}
@@ -143,7 +151,7 @@ def run_torch(config, dataset, seed, max_epoch, probe=False):
     return pred, truth
 
 
-def run_jax(config_args, seed, max_epoch):
+def run_jax(config_args, seed, max_epoch, model_name="STSGCN"):
     """Our production path: executor-trained jax STSGCN, same budget."""
     from multistgraph_tpu.config import load_config
     from multistgraph_tpu.data import get_dataset
@@ -152,10 +160,11 @@ def run_jax(config_args, seed, max_epoch):
     from multistgraph_tpu.utils import set_random_seed
 
     args = dict(config_args)
-    args.update({"max_epoch": max_epoch, "learning_rate": 1e-3,
-                 "exp_id": "oracle_stsgcn_jax_s{}".format(seed), "seed": seed,
-                 "use_early_stop": False})
-    config = load_config("traffic_state_pred", "STSGCN", args["dataset"],
+    args.update({"max_epoch": max_epoch,
+                 "learning_rate": 3e-3 if model_name == "STTN" else 1e-3,
+                 "exp_id": "oracle_{}_jax_s{}".format(model_name, seed),
+                 "seed": seed, "use_early_stop": False})
+    config = load_config("traffic_state_pred", model_name, args["dataset"],
                          other_args=args)
     set_random_seed(seed)
     dataset = get_dataset(config)
@@ -191,6 +200,7 @@ def main():
     ap.add_argument("--probe", action="store_true",
                     help="measure torch seconds/batch and exit")
     ap.add_argument("--side", choices=("both", "torch", "jax"), default="both")
+    ap.add_argument("--model", choices=("STSGCN", "STTN"), default="STSGCN")
     cli = ap.parse_args()
 
     bench_root = os.path.join(ROOT, "outputs", "bench_quality")
@@ -217,26 +227,28 @@ def main():
         "groupstd": True, "add_static": True, "batch_size": 16,
         "train_rate": 0.7, "eval_rate": 0.15, "tensorboard": False,
     }
-    config, dataset = _dataset(config_args)
+    config, dataset = _dataset(config_args, cli.model)
     from multistgraph_tpu.data import atomic
 
     mstd = atomic.load_gbst(os.path.join(raw_dir, ds_name, ds_name + ".gbst"))
 
     results = {}
     if cli.side in ("both", "torch"):
-        out = run_torch(config, dataset, cli.seed, cli.max_epoch, probe=cli.probe)
+        out = run_torch(config, dataset, cli.seed, cli.max_epoch,
+                        probe=cli.probe, model_name=cli.model)
         if cli.probe:
             return
         results["torch_reference"] = _cum_mae3(out[0], out[1], mstd)
-        print("torch reference STSGCN MAE@3h = {:.3f}".format(
-            results["torch_reference"]), flush=True)
+        print("torch reference {} MAE@3h = {:.3f}".format(
+            cli.model, results["torch_reference"]), flush=True)
     if cli.side in ("both", "jax"):
-        pred, truth = run_jax(config_args, cli.seed, cli.max_epoch)
+        pred, truth = run_jax(config_args, cli.seed, cli.max_epoch,
+                              model_name=cli.model)
         results["jax_ours"] = _cum_mae3(pred, truth, mstd)
-        print("our jax STSGCN MAE@3h = {:.3f}".format(results["jax_ours"]),
+        print("our jax {} MAE@3h = {:.3f}".format(cli.model, results["jax_ours"]),
               flush=True)
     print(json.dumps({
-        "oracle": "STSGCN", "dataset": ds_name, "seed": cli.seed,
+        "oracle": cli.model, "dataset": ds_name, "seed": cli.seed,
         "max_epoch": cli.max_epoch, "recipe": "adam lr 1e-3 clip 5 batch 16",
         "metric": "group-retransformed cumulative MAE@3h (truth>10)",
         **results,
